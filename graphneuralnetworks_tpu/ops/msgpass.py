@@ -1,0 +1,142 @@
+"""Functional message-passing core: propagate / apply_edges / aggregate_neighbors.
+
+Reference parity: GNNlib/src/msgpass.jl:69-238. Semantics:
+
+- ``apply_edges(f, g; xi, xj, e)`` gathers ``xi`` on receivers (targets) and
+  ``xj`` on senders (sources), then maps ``f(xi, xj, e)`` over the edge batch
+  (msgpass.jl:115-129). Dict (NamedTuple-in-reference) inputs/outputs pass
+  through transparently.
+- ``aggregate_neighbors(g, aggr, m)`` segment-reduces edge messages onto the
+  receiving node (msgpass.jl:145-149), masking padded edges.
+- ``propagate(f, g, aggr; ...)`` composes the two (msgpass.jl:71-79).
+
+The reference's fused fast path ``propagate(copy_xj, g, +) == xj * A`` (sparse
+matmul, msgpass.jl:215-238) maps here to a receiver-sorted gather +
+``segment_sum`` that XLA fuses, or — on TPU — the Pallas scatter-matmul SpMM
+kernel in ops/pallas/spmm.py, selected automatically for the hot aggregations.
+
+TPU-first design notes: everything is static-shape; the edge mask derived from
+``g.num_edges`` keeps padding out of sums/means/maxes; gradients flow through
+gather/segment ops by JAX AD (gather^T = segment-sum and vice versa — the same
+pullback pairing Zygote uses in the reference).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+
+from ..graph import GraphTuple
+from .segment import gather, segment_reduce, AGGREGATIONS
+
+__all__ = [
+    "apply_edges",
+    "aggregate_neighbors",
+    "propagate",
+    "copy_xi",
+    "copy_xj",
+    "xi_dot_xj",
+    "xi_sub_xj",
+    "xj_sub_xi",
+    "e_mul_xj",
+    "w_mul_xj",
+]
+
+
+def _map_leaves(fn, x):
+    """Apply fn to an array or to each value of a (nested-one-level) dict."""
+    if x is None:
+        return None
+    if isinstance(x, Mapping):
+        return {k: fn(v) for k, v in x.items()}
+    return fn(x)
+
+
+def apply_edges(f: Callable, g: GraphTuple, xi=None, xj=None, e=None):
+    """Gather endpoint features and apply ``f`` over edges.
+
+    ``xi``/``xj`` are node arrays ([N_pad, ...]) or dicts thereof; ``e`` is an
+    edge array ([E_pad, ...]) or dict. Returns whatever ``f`` returns,
+    evaluated on edge-shaped inputs. Reference: GNNlib/src/msgpass.jl:115-129.
+    """
+    s, r = g.senders, g.receivers
+    xi_e = _map_leaves(lambda v: gather(v, r), xi)
+    xj_e = _map_leaves(lambda v: gather(v, s), xj)
+    return f(xi_e, xj_e, e)
+
+
+def aggregate_neighbors(g: GraphTuple, aggr, m, *, num_segments=None):
+    """Segment-reduce edge messages onto receiving nodes.
+
+    Reference: GNNlib/src/msgpass.jl:145-156. ``m`` may be an array or a dict
+    of arrays. Padded edges are masked out; ``mean`` divides by true degree.
+    """
+    if m is None:
+        return None
+    n = num_segments if num_segments is not None else g.n_pad
+    mask = g.edge_mask
+
+    def red(v):
+        return segment_reduce(aggr, v, g.receivers, n, mask=mask,
+                              sorted=g.sorted_by_receivers)
+    return _map_leaves(red, m)
+
+
+def propagate(f: Callable, g: GraphTuple, aggr, *, xi=None, xj=None, e=None):
+    """``aggregate_neighbors(g, aggr, apply_edges(f, g, xi, xj, e))``.
+
+    Reference: GNNlib/src/msgpass.jl:71-79. The copy_xj/+ and w_mul_xj/+
+    cases are the SpMM hot path; with receiver-sorted edges the XLA lowering
+    is already a fused gather+segment-sum, and the Pallas kernel backend
+    (graphneuralnetworks_tpu.ops.pallas) accelerates it further.
+    """
+    m = apply_edges(f, g, xi=xi, xj=xj, e=e)
+    return aggregate_neighbors(g, aggr, m)
+
+
+# ---- built-in message vocabulary (GNNlib/src/msgpass.jl:159-208) -----------
+
+def copy_xj(xi, xj, e):
+    """m = xj (the neighbor/source feature)."""
+    return xj
+
+
+def copy_xi(xi, xj, e):
+    """m = xi (the target feature)."""
+    return xi
+
+
+def xi_dot_xj(xi, xj, e):
+    """Row-wise dot product over the feature axis -> [E, 1]."""
+    return jnp.sum(xi * xj, axis=-1, keepdims=True)
+
+
+def xi_sub_xj(xi, xj, e):
+    return xi - xj
+
+
+def xj_sub_xi(xi, xj, e):
+    return xj - xi
+
+
+def e_mul_xj(xi, xj, e):
+    """Broadcast-multiply edge features against source features.
+
+    Reference reshapes e to broadcast over xj's feature dims
+    (msgpass.jl:189-195); here features are trailing so we unsqueeze e on the
+    right when needed.
+    """
+    if e.ndim < xj.ndim:
+        e = e.reshape(e.shape + (1,) * (xj.ndim - e.ndim))
+    return e * xj
+
+
+def w_mul_xj(xi, xj, w):
+    """Scalar edge weights times source features (msgpass.jl:199-208)."""
+    if w is None:
+        return xj
+    if w.ndim < xj.ndim:
+        w = w.reshape(w.shape + (1,) * (xj.ndim - w.ndim))
+    return w * xj

@@ -1,0 +1,153 @@
+"""Gather / segment-reduce primitives — the framework's kernel surface.
+
+Reference parity: GNNGraphs/src/gatherscatter.jl:1-18 (`_gather`, `_scatter`
+over NNlib) and the scatter semantics tested at GNNlib/test/msgpass.jl:21-26
+(untouched destinations are zero for ``+``). On TPU the scatter becomes a
+segment-reduce over receiver-sorted edges: XLA lowers sorted segment ops far
+better than random scatter-add, and the Pallas SpMM kernel
+(ops/pallas/spmm.py) replaces the hottest case entirely.
+
+All functions are shape-static and mask-aware: padded edges/nodes are excluded
+from the math (mean divides by the true segment size, max ignores padding).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "gather",
+    "segment_sum",
+    "segment_mean",
+    "segment_max",
+    "segment_min",
+    "segment_prod",
+    "segment_reduce",
+    "segment_softmax",
+    "AGGREGATIONS",
+]
+
+
+def gather(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row-gather ``x[idx]`` (reference `_gather` = NNlib.gather).
+
+    ``x``: [N, ...], ``idx``: int[E] -> [E, ...]. Under jit this is an XLA
+    gather; indices are assumed in range (padded edges point at a dummy row).
+    """
+    return x.at[idx].get(mode="promise_in_bounds")
+
+
+def _expand_mask(mask: jax.Array | None, data: jax.Array) -> jax.Array | None:
+    if mask is None:
+        return None
+    return mask.reshape(mask.shape + (1,) * (data.ndim - 1))
+
+
+def segment_sum(data, segment_ids, num_segments, *, mask=None, sorted=False):
+    """Masked segment sum; empty segments get 0 (NNlib ``+`` semantics)."""
+    m = _expand_mask(mask, data)
+    if m is not None:
+        data = jnp.where(m, data, 0)
+    return jax.ops.segment_sum(data, segment_ids, num_segments,
+                               indices_are_sorted=sorted)
+
+
+def segment_mean(data, segment_ids, num_segments, *, mask=None, sorted=False):
+    """Masked segment mean dividing by the *true* segment size.
+
+    Empty segments return 0 (matches NNlib scatter-mean's 0/eps guard).
+    """
+    s = segment_sum(data, segment_ids, num_segments, mask=mask, sorted=sorted)
+    ones = jnp.ones(data.shape[:1], dtype=s.dtype)
+    cnt = segment_sum(ones, segment_ids, num_segments, mask=mask,
+                      sorted=sorted)
+    cnt = jnp.maximum(cnt, 1)
+    return s / cnt.reshape(cnt.shape + (1,) * (s.ndim - 1))
+
+
+def _segment_extreme(op_min: bool, data, segment_ids, num_segments, *,
+                     mask=None, sorted=False, empty_value=0.0):
+    fill = jnp.array(jnp.inf if op_min else -jnp.inf, dtype=data.dtype)
+    m = _expand_mask(mask, data)
+    if m is not None:
+        data = jnp.where(m, data, fill)
+    fn = jax.ops.segment_min if op_min else jax.ops.segment_max
+    out = fn(data, segment_ids, num_segments, indices_are_sorted=sorted)
+    if empty_value is not None:
+        # Untouched/fully-masked segments come back as +-inf; replace.
+        bad = jnp.isinf(out) & (jnp.sign(out) == (1.0 if op_min else -1.0))
+        out = jnp.where(bad, jnp.asarray(empty_value, out.dtype), out)
+    return out
+
+
+def segment_max(data, segment_ids, num_segments, *, mask=None, sorted=False,
+                empty_value=0.0):
+    return _segment_extreme(False, data, segment_ids, num_segments, mask=mask,
+                            sorted=sorted, empty_value=empty_value)
+
+
+def segment_min(data, segment_ids, num_segments, *, mask=None, sorted=False,
+                empty_value=0.0):
+    return _segment_extreme(True, data, segment_ids, num_segments, mask=mask,
+                            sorted=sorted, empty_value=empty_value)
+
+
+def segment_prod(data, segment_ids, num_segments, *, mask=None, sorted=False):
+    m = _expand_mask(mask, data)
+    if m is not None:
+        data = jnp.where(m, data, 1)
+    return jax.ops.segment_prod(data, segment_ids, num_segments,
+                                indices_are_sorted=sorted)
+
+
+AGGREGATIONS: dict[str, Callable] = {
+    "sum": segment_sum,
+    "add": segment_sum,
+    "+": segment_sum,
+    "mean": segment_mean,
+    "max": segment_max,
+    "min": segment_min,
+    "prod": segment_prod,
+    "*": segment_prod,
+}
+
+
+def segment_reduce(aggr, data, segment_ids, num_segments, *, mask=None,
+                   sorted=False):
+    """Dispatch on ``aggr`` in {sum, mean, max, min, prod} (+ aliases).
+
+    Reference `_scatter(aggr, src, idx, n)` with aggr in (+, mean, max, min)
+    (GNNlib/src/msgpass.jl:145-149).
+    """
+    if callable(aggr):
+        aggr = getattr(aggr, "__name__", str(aggr))
+    try:
+        fn = AGGREGATIONS[str(aggr)]
+    except KeyError:
+        raise ValueError(f"unknown aggregation {aggr!r}; "
+                         f"expected one of {sorted(AGGREGATIONS)}") from None
+    return fn(data, segment_ids, num_segments, mask=mask, sorted=sorted)
+
+
+def segment_softmax(data, segment_ids, num_segments, *, mask=None,
+                    sorted=False):
+    """Numerically-stable per-segment softmax over the leading axis.
+
+    The core of attention layers — reference ``softmax_edge_neighbors``
+    (GNNlib/src/utils.jl:84-97): scatter(max) -> gather -> exp -> scatter(+)
+    -> gather -> normalize, with max-subtraction stability. Masked entries
+    return 0.
+    """
+    mx = segment_max(data, segment_ids, num_segments, mask=mask, sorted=sorted,
+                     empty_value=0.0)
+    shifted = data - gather(mx, segment_ids)
+    ex = jnp.exp(shifted)
+    m = _expand_mask(mask, data)
+    if m is not None:
+        ex = jnp.where(m, ex, 0)
+    denom = segment_sum(ex, segment_ids, num_segments, sorted=sorted)
+    denom = jnp.maximum(denom, jnp.finfo(ex.dtype).tiny)
+    return ex / gather(denom, segment_ids)
