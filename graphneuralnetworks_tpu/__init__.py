@@ -32,5 +32,12 @@ from .generate import (rand_graph, knn_graph, radius_graph,
                        rand_temporal_hyperbolic_graph)
 from .utils import (edge_encoding, edge_decoding, color_refinement,
                     check_num_nodes, check_num_edges)
+from .heterograph import (HeteroGraphTuple, Relation, heterograph,
+                          rand_heterograph, rand_bipartite_heterograph,
+                          batch_hetero)
+from .temporal import TemporalGraph
+from . import models
+from . import data
+from . import training
 
 __version__ = "0.1.0"

@@ -84,6 +84,9 @@ class GraphTuple:
     edges: FeatureDict = dataclasses.field(default_factory=dict)
     globals_: FeatureDict = dataclasses.field(default_factory=dict)
     edge_weight: jax.Array | None = None   # float[E_pad] or None
+    # (aux_fwd, aux_rev) SpmmAux pair enabling the Pallas scatter-matmul
+    # fast path (ops/pallas/spmm.py); built host-side on request.
+    spmm_aux: tuple | None = None
     num_graphs_static: int = dataclasses.field(
         default=1, metadata=dict(static=True))
     sorted_by_receivers: bool = dataclasses.field(
@@ -147,6 +150,17 @@ class GraphTuple:
     def with_globals(self, **feats) -> "GraphTuple":
         return self.replace(globals_={**self.globals_, **feats})
 
+    def reverse(self) -> "GraphTuple":
+        """Swap edge direction (senders <-> receivers). The receiver-sorted
+        invariant no longer holds, so segment ops fall back to unsorted mode;
+        the SpMM aux pair simply swaps (the reverse grouping is already
+        receiver-sorted for the reversed graph)."""
+        aux = None
+        if self.spmm_aux is not None:
+            aux = (self.spmm_aux[1], self.spmm_aux[0])
+        return self.replace(senders=self.receivers, receivers=self.senders,
+                            sorted_by_receivers=False, spmm_aux=aux)
+
     def __repr__(self) -> str:  # concrete values only outside jit
         def _n(v):
             try:
@@ -192,7 +206,8 @@ def graph(senders, receivers, *, num_nodes=None, nodes=None, edges=None,
           globals_=None, edge_weight=None, n_pad: int | None = None,
           e_pad: int | None = None, sort: bool = True,
           node_graph_id=None, num_graphs: int = 1,
-          g_pad: int | None = None) -> GraphTuple:
+          g_pad: int | None = None,
+          build_spmm_aux: bool = False) -> GraphTuple:
     """Host-side GraphTuple builder (numpy in, device pytree out).
 
     Reference parity: the `GNNGraph((s, t, w); ndata, edata, gdata)` COO
@@ -258,7 +273,23 @@ def graph(senders, receivers, *, num_nodes=None, nodes=None, edges=None,
         ew[:ne] = edge_weight
         ew = jnp.asarray(ew)
 
+    aux = None
+    if build_spmm_aux:
+        if not sort:
+            raise ValueError("build_spmm_aux requires sort=True")
+        from .ops.pallas.spmm import build_spmm_aux as _build
+        aux_fwd = _build(r_p, s_p, ne, n_pad)
+        rev_order = np.argsort(s, kind="stable")
+        rev_r = np.full((e_pad,), dummy, np.int32)
+        rev_s = np.full((e_pad,), dummy, np.int32)
+        rev_r[:ne] = s[rev_order]   # reverse graph's receivers
+        rev_s[:ne] = r[rev_order]
+        aux_rev = _build(rev_r, rev_s, ne, n_pad,
+                         orig_ids=rev_order.astype(np.int32))
+        aux = (aux_fwd, aux_rev)
+
     return GraphTuple(
+        spmm_aux=aux,
         senders=jnp.asarray(s_p),
         receivers=jnp.asarray(r_p),
         num_nodes=jnp.int32(nn),

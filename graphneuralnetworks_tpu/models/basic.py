@@ -1,0 +1,113 @@
+"""Model basics: GNNLayer base, GNNChain, WithGraph, DotDecoder.
+
+Reference parity: GraphNeuralNetworks/src/layers/basic.jl — `GNNLayer`
+abstract type (:8), graph-in/graph-out call wrapping ndata (:12), `WithGraph`
+(:40-52), `GNNChain` graph-aware chain with indexing/naming and Parallel
+handling (:106-185), `DotDecoder` (:210-212).
+
+Layers are flax.nnx modules (explicit-parameter style like the GNNLux
+frontend, GNNLux/src/layers/basic.jl) with features-last arrays [N_pad, D].
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ..graph import GraphTuple
+from ..ops import apply_edges, xi_dot_xj
+
+__all__ = ["GNNLayer", "GNNChain", "WithGraph", "DotDecoder", "glorot_uniform"]
+
+glorot_uniform = nnx.initializers.glorot_uniform
+
+
+class GNNLayer(nnx.Module):
+    """Base class for graph layers: ``layer(g, x, ...) -> array``.
+
+    ``layer(g)`` (graph-in/graph-out, reference basic.jl:12) is provided via
+    :meth:`on_graph`, returning ``g`` with updated node features.
+    """
+
+    def on_graph(self, g: GraphTuple, key: str = "x", **kw) -> GraphTuple:
+        out = self(g, g.nodes[key], **kw)
+        return g.replace(nodes={**g.nodes, key: out})
+
+
+class GNNChain(nnx.Module):
+    """Sequential container aware of the graph argument.
+
+    Reference: GraphNeuralNetworks/src/layers/basic.jl:106-185. GNN layers
+    (anything deriving :class:`GNNLayer` or taking ``(g, x)``) get the graph;
+    plain callables (nnx.Linear, activations, dropout...) are applied to the
+    features only — mirroring `_applylayer` dispatch (basic.jl:136-150).
+    """
+
+    def __init__(self, *layers, **named_layers):
+        if layers and named_layers:
+            raise ValueError("pass layers positionally or by name, not both")
+        items = (list(enumerate(layers)) if layers
+                 else list(named_layers.items()))
+        self._names = [str(k) for k, _ in items]
+        self.layers = nnx.List([v for _, v in items])
+
+    def __getitem__(self, i):
+        if isinstance(i, str):
+            return self.layers[self._names.index(i)]
+        if isinstance(i, slice):
+            chain = GNNChain()
+            chain._names = self._names[i]
+            chain.layers = nnx.List(list(self.layers)[i])
+            return chain
+        return self.layers[i]
+
+    def __len__(self):
+        return len(self.layers)
+
+    def __call__(self, g: GraphTuple, x=None):
+        if x is None:
+            x = g.x
+        for layer in self.layers:
+            x = _apply_layer(layer, g, x)
+        return x
+
+
+def _apply_layer(layer, g, x):
+    if isinstance(layer, (GNNLayer, GNNChain)):
+        return layer(g, x)
+    # Parallel-style tuple of branches concatenated on features
+    if isinstance(layer, (tuple, list)):
+        return jnp.concatenate([_apply_layer(b, g, x) for b in layer], -1)
+    return layer(x)
+
+
+class WithGraph(nnx.Module):
+    """Close a model over a fixed graph: ``WithGraph(model, g)(x)``.
+
+    Reference: basic.jl:40-52 (`traingraph` controls whether graph-attached
+    features are trainable — here the graph is held as static data).
+    """
+
+    def __init__(self, model, g: GraphTuple):
+        self.model = model
+        # Stored as plain attribute: the graph rides along as data, not params.
+        self.g = nnx.data(g)
+
+    def __call__(self, x=None, *args, **kw):
+        return self.model(self.g, x, *args, **kw)
+
+
+class DotDecoder(GNNLayer):
+    """Per-edge dot product of endpoint features -> [E_pad, 1].
+
+    Reference: basic.jl:210-212 / GNNlib/src/layers/basic.jl:1-3
+    (`dot_decoder`). Used for link prediction on positive/negative graphs.
+    """
+
+    def __call__(self, g: GraphTuple, x=None):
+        if x is None:
+            x = g.x
+        return apply_edges(xi_dot_xj, g, xi=x, xj=x)

@@ -1,0 +1,74 @@
+"""Fused attention-aggregation over incoming edges with virtual self-loops.
+
+This is the TPU-first replacement for the reference's pattern of
+``add_self_loops(g)`` + ``softmax_edge_neighbors`` + weighted segment-sum
+(GNNlib/src/layers/conv.jl:112-150 and GNNlib/src/utils.jl:84-97): instead of
+materializing self-loop edges (which would change the static edge capacity
+under jit), the self term enters the softmax analytically. The math is
+identical to softmaxing over the union {in-edges} ∪ {self}.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..graph import GraphTuple
+from .segment import gather, segment_sum, segment_max
+
+__all__ = ["attention_aggregate"]
+
+
+def attention_aggregate(g: GraphTuple, logits: jax.Array, values: jax.Array,
+                        *, self_logits: jax.Array | None = None,
+                        self_values: jax.Array | None = None,
+                        dropout: Callable[[jax.Array], jax.Array] | None = None,
+                        num_segments: int | None = None) -> jax.Array:
+    """Softmax ``logits`` per receiving node and aggregate ``values``.
+
+    Args:
+      logits: [E_pad, *H] unnormalized attention scores per edge.
+      values: [E_pad, *H, D] messages per edge.
+      self_logits/self_values: optional [N, *H] / [N, *H, D] virtual
+        self-loop terms entering each node's softmax (the analytic
+        ``add_self_loops`` — see module docstring).
+      dropout: optional fn applied to the normalized attention coefficients
+        (the reference's `dropout(α)`, gat_conv conv.jl:139).
+      num_segments: destination node count (defaults to ``g.n_pad``; pass the
+        destination-side padded count for bipartite/hetero relations).
+
+    Returns: [N, *H, D] aggregated destination-node features.
+    """
+    r = g.receivers
+    n = num_segments if num_segments is not None else g.n_pad
+    mask = g.edge_mask
+
+    mx = segment_max(logits, r, n, mask=mask, sorted=g.sorted_by_receivers,
+                     empty_value=None)  # [N, *H], -inf where no in-edges
+    if self_logits is not None:
+        mx = jnp.maximum(mx, self_logits)
+    # Nodes with no edges at all: keep max finite to avoid nan from inf-inf.
+    mx = jnp.where(jnp.isneginf(mx), 0.0, mx)
+
+    ex = jnp.exp(logits - gather(mx, r))
+    ex = jnp.where(mask.reshape((-1,) + (1,) * (ex.ndim - 1)), ex, 0)
+    denom = segment_sum(ex, r, n, sorted=g.sorted_by_receivers)
+    if self_logits is not None:
+        ex_self = jnp.exp(self_logits - mx)
+        denom = denom + ex_self
+    denom = jnp.maximum(denom, jnp.finfo(ex.dtype).tiny)
+
+    alpha = ex / gather(denom, r)                        # [E, *H]
+    if dropout is not None:
+        alpha = dropout(alpha)
+
+    out = segment_sum(alpha[..., None] * values, r, n,
+                      sorted=g.sorted_by_receivers)
+    if self_logits is not None:
+        alpha_self = ex_self / denom                     # [N, *H]
+        if dropout is not None:
+            alpha_self = dropout(alpha_self)
+        out = out + alpha_self[..., None] * self_values
+    return out

@@ -87,11 +87,25 @@ def aggregate_neighbors(g: GraphTuple, aggr, m, *, num_segments=None):
 def propagate(f: Callable, g: GraphTuple, aggr, *, xi=None, xj=None, e=None):
     """``aggregate_neighbors(g, aggr, apply_edges(f, g, xi, xj, e))``.
 
-    Reference: GNNlib/src/msgpass.jl:71-79. The copy_xj/+ and w_mul_xj/+
-    cases are the SpMM hot path; with receiver-sorted edges the XLA lowering
-    is already a fused gather+segment-sum, and the Pallas kernel backend
-    (graphneuralnetworks_tpu.ops.pallas) accelerates it further.
+    Reference: GNNlib/src/msgpass.jl:71-79, including the fused fast paths
+    (msgpass.jl:210-238): ``propagate(copy_xj, g, +)`` and the weighted
+    variants dispatch to the Pallas scatter-matmul SpMM kernel when the graph
+    carries its grouping metadata (``graph(..., build_spmm_aux=True)``);
+    otherwise they lower to a receiver-sorted gather + segment_sum that XLA
+    fuses.
     """
+    if (g.spmm_aux is not None and aggr in ("sum", "add", "+")
+            and xj is not None and not isinstance(xj, Mapping)
+            and xj.ndim == 2):
+        from .pallas.spmm import spmm
+        if f is copy_xj:
+            return spmm(g, xj)
+        if f is w_mul_xj and e is None:
+            if g.edge_weight is None:
+                return spmm(g, xj)
+            return spmm(g, xj, weighted=True)
+        if f in (w_mul_xj, e_mul_xj) and e is not None and e.ndim == 1:
+            return spmm(g, xj, edge_weight=e, weighted=True)
     m = apply_edges(f, g, xi=xi, xj=xj, e=e)
     return aggregate_neighbors(g, aggr, m)
 

@@ -1,0 +1,255 @@
+"""Pallas TPU scatter-matmul: the SpMM hot path of message passing.
+
+The reference's hottest op is ``propagate(copy_xj, g, +) == xj * A`` — a
+sparse matmul (GNNlib/src/msgpass.jl:215-238, benchmarked at
+GraphNeuralNetworks/perf/bench_gnn.jl). On TPU, random scatter-add wastes the
+MXU; this kernel reformulates segment-sum over receiver-sorted edges as a
+sequence of small **one-hot x message-block matmuls** that run on the MXU:
+
+  for each edge block k (BE edges, receiver-sorted, grouped so a block never
+  crosses a node-row-block boundary):
+      one_hot[BN, BE] = (row_iota == local_receiver)          # VPU
+      Y_block[BN, D] += one_hot @ M_block[BE, D]              # MXU
+
+The grouping (``SpmmAux``) is computed once at graph construction on the
+host: edges are bucketed by receiver-node block (BN rows per bucket) and each
+bucket padded to a multiple of BE, so every edge block maps to exactly one
+output row block — `PrefetchScalarGridSpec` feeds the per-block row index to
+the output `index_map`, and consecutive grid steps hitting the same output
+block accumulate in VMEM (TPU grids execute sequentially).
+
+Gradient: ``d/dx [sum_{j->i} w_ji x_j]`` applied to dY is the same SpMM over
+the **reverse** graph, so a ``custom_vjp`` keeps both directions on the MXU
+(the reference relies on NNlib's gather<->scatter pullback pair; SURVEY
+§3.3). The edge-weight gradient is an SDDMM computed edge-parallel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["SpmmAux", "build_spmm_aux", "spmm", "spmm_gather_scatter",
+           "BN", "BE", "BD"]
+
+# tile sizes: BN output rows x BE edges per block; features blocked by BD.
+BN = 256
+BE = 512
+BD = 512
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SpmmAux:
+    """Receiver-block grouping of a sorted edge list (see module docstring).
+
+    Arrays (static-shape, built host-side by :func:`build_spmm_aux`):
+      block_rows: int32[n_eblk] — output node-block index per edge block
+        (non-decreasing).
+      senders_grp: int32[n_eblk, BE] — original sender per grouped edge slot
+        (dummy slots point at row 0; killed by recv_local == -1).
+      recv_local: int32[n_eblk, BE] — receiver minus block start, or -1 for
+        dummy/padding slots (never matches the one-hot iota).
+      edge_perm: int32[n_eblk, BE] — original edge index per slot (E_pad for
+        dummies) for gathering per-edge weight/message arrays.
+    """
+
+    block_rows: jax.Array
+    senders_grp: jax.Array
+    recv_local: jax.Array
+    edge_perm: jax.Array
+
+    @property
+    def n_eblk(self) -> int:
+        return self.block_rows.shape[0]
+
+
+def build_spmm_aux(receivers, senders, num_edges: int, n_pad: int,
+                   *, bn: int = BN, be: int = BE,
+                   orig_ids=None) -> SpmmAux:
+    """Host-side grouping: bucket sorted edges by receiver block, pad each
+    bucket to a multiple of ``be`` edges (worst-case overhead: be-1 slots per
+    non-empty node block). ``orig_ids`` maps input order to original edge ids
+    (for reverse-direction groupings whose input is a permutation).
+    ``e_pad`` for dummy slots is taken from the receivers capacity."""
+    receivers = np.asarray(receivers)
+    senders = np.asarray(senders)
+    e_pad = receivers.shape[0]
+    r = receivers[:num_edges]
+    s = senders[:num_edges]
+    ids = (np.arange(num_edges, dtype=np.int32) if orig_ids is None
+           else np.asarray(orig_ids, np.int32)[:num_edges])
+    if num_edges > 1 and np.any(np.diff(r) < 0):
+        raise ValueError("build_spmm_aux requires receiver-sorted edges")
+    n_nblk = max(1, -(-n_pad // bn))
+
+    rows, bs, brl, bperm = [], [], [], []
+    bounds = np.searchsorted(r, np.arange(0, n_nblk + 1) * bn)
+    for b in range(n_nblk):
+        lo, hi = int(bounds[b]), int(bounds[b + 1])
+        cnt = hi - lo
+        if cnt == 0:
+            continue
+        nb = -(-cnt // be)
+        pad = nb * be - cnt
+        ss = np.concatenate([s[lo:hi], np.zeros(pad, np.int32)])
+        rl = np.concatenate([r[lo:hi] - b * bn, np.full(pad, -1, np.int32)])
+        pp = np.concatenate([ids[lo:hi],
+                             np.full(pad, e_pad, np.int32)])
+        rows.extend([b] * nb)
+        bs.append(ss.reshape(nb, be))
+        brl.append(rl.reshape(nb, be))
+        bperm.append(pp.reshape(nb, be))
+
+    if not rows:  # edgeless graph
+        rows = [0]
+        bs = [np.zeros((1, be), np.int32)]
+        brl = [np.full((1, be), -1, np.int32)]
+        bperm = [np.full((1, be), e_pad, np.int32)]
+
+    return SpmmAux(
+        block_rows=jnp.asarray(np.asarray(rows, np.int32)),
+        senders_grp=jnp.asarray(np.concatenate(bs).astype(np.int32)),
+        recv_local=jnp.asarray(np.concatenate(brl).astype(np.int32)),
+        edge_perm=jnp.asarray(np.concatenate(bperm).astype(np.int32)),
+    )
+
+
+def _scatter_kernel(block_rows_ref, recv_ref, m_ref, out_ref):
+    """One grid step: accumulate one edge block into its output row block."""
+    k = pl.program_id(1)
+    b = block_rows_ref[k]
+    prev = block_rows_ref[jnp.maximum(k - 1, 0)]
+    is_first = jnp.logical_or(k == 0, b != prev)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    recv = recv_ref[:]                                    # [1, BE] int32
+    rows = jax.lax.broadcasted_iota(jnp.int32,
+                                    (out_ref.shape[0], recv.shape[1]), 0)
+    one_hot = (rows == recv).astype(m_ref.dtype)          # [BN, BE]
+    out_ref[:] += jax.lax.dot(
+        one_hot, m_ref[:], preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
+
+
+def _scatter_grouped(values_grp: jax.Array, aux: SpmmAux, n_pad: int,
+                     *, interpret: bool = False) -> jax.Array:
+    """Sum grouped edge values [n_eblk, BE, D] into node rows [n_pad, D]."""
+    n_eblk, be, d = values_grp.shape
+    n_nblk = -(-n_pad // BN)
+    bd = min(max(d, 128), BD)
+    d_padded = -(-d // bd) * bd
+    if d_padded != d:
+        values_grp = jnp.pad(values_grp,
+                             ((0, 0), (0, 0), (0, d_padded - d)))
+    n_dblk = d_padded // bd
+    vflat = values_grp.reshape(n_eblk * be, d_padded)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_dblk, n_eblk),
+        in_specs=[
+            pl.BlockSpec((1, be), lambda j, k, br: (k, 0)),
+            pl.BlockSpec((be, bd), lambda j, k, br: (k, j)),
+        ],
+        out_specs=pl.BlockSpec((BN, bd), lambda j, k, br: (br[k], j)),
+    )
+    out = pl.pallas_call(
+        _scatter_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_nblk * BN, d_padded),
+                                       values_grp.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_eblk * be * BN * d_padded,
+            bytes_accessed=(n_eblk * be * d_padded + n_nblk * BN * d_padded)
+            * values_grp.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(aux.block_rows, aux.recv_local, vflat)
+    return out[:n_pad, :d]
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# public entry points with custom VJP (backward = kernel on reverse graph)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def spmm_gather_scatter(x, w, auxes, n_pads):
+    """Y[i] = sum over edges j->i of w_e * x[j] via the Pallas kernel.
+
+    Args:
+      x: [N_src_pad, D] node features.
+      w: [E_pad + 1] per-edge weights with a trailing zero slot for dummy
+        edges, or None for unweighted.
+      auxes: (aux_fwd, aux_rev) SpmmAux pair; the reverse grouping drives the
+        VJP.
+      n_pads: static (n_dst_pad, n_src_pad).
+    """
+    return _spmm_impl(x, w, auxes[0], n_pads[0])
+
+
+def _spmm_impl(x, w, aux: SpmmAux, n_dst_pad: int):
+    vals = x[aux.senders_grp]                      # [n_eblk, BE, D]
+    if w is not None:
+        vals = vals * w[aux.edge_perm][..., None]
+    return _scatter_grouped(vals, aux, n_dst_pad,
+                            interpret=_use_interpret())
+
+
+def _spmm_fwd(x, w, auxes, n_pads):
+    return spmm_gather_scatter(x, w, auxes, n_pads), (x, w, auxes)
+
+
+def _spmm_bwd(n_pads, res, dy):
+    x, w, auxes = res
+    aux_fwd, aux_rev = auxes
+    dx = _spmm_impl(dy, w, aux_rev, n_pads[1])
+    if w is None:
+        dw = None
+    else:
+        # dw_e = <dy[r_e], x[s_e]> (SDDMM), recovered from the grouping.
+        xg = x[aux_fwd.senders_grp]                       # [blk, BE, D]
+        recv_rows = aux_fwd.recv_local + aux_fwd.block_rows[:, None] * BN
+        recv_rows = jnp.where(aux_fwd.recv_local >= 0, recv_rows, 0)
+        dyg = dy[recv_rows]
+        contrib = jnp.sum(xg * dyg, -1)
+        contrib = jnp.where(aux_fwd.recv_local >= 0, contrib, 0.0)
+        dw = jnp.zeros(w.shape, w.dtype).at[
+            aux_fwd.edge_perm.reshape(-1)].add(
+            contrib.reshape(-1).astype(w.dtype), mode="drop")
+        dw = dw.at[-1].set(0.0)
+    return dx, dw
+
+
+spmm_gather_scatter.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+def spmm(g, x, *, edge_weight=None, weighted: bool = False):
+    """``propagate(copy_xj | w_mul_xj, g, +)`` on the Pallas path.
+
+    Requires ``g.spmm_aux`` (pass ``build_spmm_aux=True`` to ``graph(...)``).
+    """
+    if g.spmm_aux is None:
+        raise ValueError("graph has no spmm_aux; build with "
+                         "graph(..., build_spmm_aux=True)")
+    if weighted or edge_weight is not None:
+        w = edge_weight if edge_weight is not None else g.edge_weight
+        w = jnp.where(g.edge_mask, w, 0).astype(x.dtype)
+        w = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])
+    else:
+        w = None
+    return spmm_gather_scatter(x, w, g.spmm_aux, (g.n_pad, x.shape[0]))

@@ -115,10 +115,16 @@ def normalized_laplacian(g: GraphTuple, *, dtype=jnp.float32,
 
 def _power_iteration_eigmax(M: jax.Array, iters: int = 50) -> jax.Array:
     """Largest-|λ| eigenvalue via power iteration (reference uses KrylovKit
-    ``eigmax``, query.jl:474-487). Deterministic start vector, jit-friendly
-    fori_loop."""
+    ``eigmax``, query.jl:474-487). Jit-friendly fori_loop.
+
+    The start vector is deterministic but pseudo-random: structured starts
+    (e.g. all-ones) can be exactly orthogonal to the dominant eigenvector —
+    the all-ones vector IS the λ=0 eigenvector of a regular graph's
+    normalized Laplacian — which would silently converge to 0.
+    """
     n = M.shape[0]
-    v0 = jnp.ones((n,), M.dtype) / jnp.sqrt(jnp.asarray(n, M.dtype))
+    v0 = jax.random.normal(jax.random.key(20240607), (n,), M.dtype)
+    v0 = v0 / jnp.linalg.norm(v0)
 
     def body(_, v):
         w = M @ v

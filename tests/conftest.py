@@ -12,6 +12,12 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# Finite-difference gradient checks run in float64, like the reference's
+# FiniteDifferences-based machinery (test_module.jl:59-64). CPU-only suite.
+jax.config.update("jax_enable_x64", True)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
