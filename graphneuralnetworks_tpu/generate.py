@@ -29,7 +29,8 @@ __all__ = [
 def rand_graph(num_nodes: int, num_edges: int, *, bidirected: bool = True,
                seed: int | None = None, nodes=None, edges=None,
                edge_weight=None, n_pad=None, e_pad=None,
-               rng: np.random.Generator | None = None) -> GraphTuple:
+               rng: np.random.Generator | None = None,
+               **graph_kw) -> GraphTuple:
     """Erdős–Rényi G(n, m) via sampling unique edge ids (generate.jl:41-65).
 
     ``bidirected=True`` (the reference default) samples ``num_edges / 2``
@@ -53,7 +54,8 @@ def rand_graph(num_nodes: int, num_edges: int, *, bidirected: bool = True,
     if bidirected:
         s, r = np.concatenate([s, r]), np.concatenate([r, s])
     return graph(s, r, num_nodes=n, nodes=nodes, edges=edges,
-                 edge_weight=edge_weight, n_pad=n_pad, e_pad=e_pad)
+                 edge_weight=edge_weight, n_pad=n_pad, e_pad=e_pad,
+                 **graph_kw)
 
 
 def _pairwise_sq_dists(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -94,9 +94,10 @@ def build_spmm_aux(receivers, senders, num_edges: int, n_pad: int,
     for b in range(n_nblk):
         lo, hi = int(bounds[b]), int(bounds[b + 1])
         cnt = hi - lo
-        if cnt == 0:
-            continue
-        nb = -(-cnt // be)
+        # node blocks with zero edges still get one all-dummy edge block so
+        # the kernel zero-initializes their output rows (pallas outputs are
+        # uninitialized unless written).
+        nb = max(1, -(-cnt // be))
         pad = nb * be - cnt
         ss = np.concatenate([s[lo:hi], np.zeros(pad, np.int32)])
         rl = np.concatenate([r[lo:hi] - b * bn, np.full(pad, -1, np.int32)])
@@ -106,12 +107,6 @@ def build_spmm_aux(receivers, senders, num_edges: int, n_pad: int,
         bs.append(ss.reshape(nb, be))
         brl.append(rl.reshape(nb, be))
         bperm.append(pp.reshape(nb, be))
-
-    if not rows:  # edgeless graph
-        rows = [0]
-        bs = [np.zeros((1, be), np.int32)]
-        brl = [np.full((1, be), -1, np.int32)]
-        bperm = [np.full((1, be), e_pad, np.int32)]
 
     return SpmmAux(
         block_rows=jnp.asarray(np.asarray(rows, np.int32)),
@@ -132,7 +127,7 @@ def _scatter_kernel(block_rows_ref, recv_ref, m_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    recv = recv_ref[:]                                    # [1, BE] int32
+    recv = recv_ref[0]                                    # [1, BE] int32
     rows = jax.lax.broadcasted_iota(jnp.int32,
                                     (out_ref.shape[0], recv.shape[1]), 0)
     one_hot = (rows == recv).astype(m_ref.dtype)          # [BN, BE]
@@ -158,7 +153,9 @@ def _scatter_grouped(values_grp: jax.Array, aux: SpmmAux, n_pad: int,
         num_scalar_prefetch=1,
         grid=(n_dblk, n_eblk),
         in_specs=[
-            pl.BlockSpec((1, be), lambda j, k, br: (k, 0)),
+            # [n_eblk, 1, BE] so the trailing two block dims are
+            # (1, BE) == the array's own trailing dims (TPU tiling rule).
+            pl.BlockSpec((1, 1, be), lambda j, k, br: (k, 0, 0)),
             pl.BlockSpec((be, bd), lambda j, k, br: (k, j)),
         ],
         out_specs=pl.BlockSpec((BN, bd), lambda j, k, br: (br[k], j)),
@@ -175,7 +172,7 @@ def _scatter_grouped(values_grp: jax.Array, aux: SpmmAux, n_pad: int,
             * values_grp.dtype.itemsize,
             transcendentals=0,
         ),
-    )(aux.block_rows, aux.recv_local, vflat)
+    )(aux.block_rows, aux.recv_local[:, None, :], vflat)
     return out[:n_pad, :d]
 
 
@@ -232,7 +229,7 @@ def _spmm_bwd(n_pads, res, dy):
             aux_fwd.edge_perm.reshape(-1)].add(
             contrib.reshape(-1).astype(w.dtype), mode="drop")
         dw = dw.at[-1].set(0.0)
-    return dx, dw
+    return dx, dw, None
 
 
 spmm_gather_scatter.defvjp(_spmm_fwd, _spmm_bwd)

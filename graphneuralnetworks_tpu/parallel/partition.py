@@ -1,0 +1,180 @@
+"""Host-side graph partitioning for multi-chip full-graph training.
+
+The reference has NO distributed execution (SURVEY §2.6) — this subsystem is
+the net-new, TPU-native capability: **edge-partitioned message passing with
+halo exchange over ICI**. Nodes are assigned to mesh-axis shards; each edge
+lives on its receiver's shard; senders owned by other shards are fetched via
+a single `all_to_all` of the halo node set (parallel/shard.py), overlapping
+with local aggregation under XLA's scheduler.
+
+All per-shard arrays are padded to uniform (n_local, e_local, h_max) shapes
+and stacked on a leading shard axis, so one `shard_map` program serves every
+shard.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import GraphTuple, round_up
+
+__all__ = ["PartitionedGraph", "partition_graph"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PartitionedGraph:
+    """Stacked per-shard graph arrays (leading axis = shard).
+
+    Shapes (P shards):
+      node_global:   int32[P, n_local] — global node id per local slot
+                     (padding slots repeat the last owned id).
+      node_mask:     bool[P, n_local] — real owned nodes.
+      recv_local:    int32[P, e_local] — local receiver per edge.
+      send_halo_idx: int32[P, e_local] — sender position in the halo buffer
+                     (flat index into [P * h_max] received rows).
+      edge_mask:     bool[P, e_local].
+      edge_weight:   optional float[P, e_local].
+      halo_send:     int32[P, P, h_max] — for shard q: local node ids to ship
+                     to each destination shard (padded with 0).
+      num_parts / n_local / e_local / h_max: static ints.
+    """
+
+    node_global: jax.Array
+    node_mask: jax.Array
+    recv_local: jax.Array
+    send_halo_idx: jax.Array
+    edge_mask: jax.Array
+    halo_send: jax.Array
+    edge_weight: jax.Array | None = None
+    num_parts: int = dataclasses.field(default=1, metadata=dict(static=True))
+    n_local: int = dataclasses.field(default=0, metadata=dict(static=True))
+    e_local: int = dataclasses.field(default=0, metadata=dict(static=True))
+    h_max: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    def scatter_nodes(self, x) -> jax.Array:
+        """[N, ...] global node array -> [P, n_local, ...] shard-stacked."""
+        return jnp.asarray(np.asarray(x)[np.asarray(self.node_global)])
+
+    def gather_nodes(self, xs) -> np.ndarray:
+        """[P, n_local, ...] -> [N, ...] (host-side, inverse of scatter)."""
+        xs = np.asarray(xs)
+        ng = np.asarray(self.node_global)
+        nm = np.asarray(self.node_mask)
+        n = int(ng[nm].max()) + 1
+        out = np.zeros((n,) + xs.shape[2:], xs.dtype)
+        out[ng[nm]] = xs[nm]
+        return out
+
+
+def partition_graph(g: GraphTuple, num_parts: int, *,
+                    parts: np.ndarray | None = None,
+                    node_multiple: int = 8,
+                    edge_multiple: int = 8,
+                    n_local: int | None = None,
+                    e_local: int | None = None,
+                    h_max: int | None = None) -> PartitionedGraph:
+    """Partition a graph for `shard_map` message passing.
+
+    ``parts``: optional int[num_nodes] node->shard assignment (e.g. from a
+    graph clusterer); defaults to balanced contiguous ranges, which preserves
+    any locality already present in the node ordering.
+
+    ``n_local``/``e_local``/``h_max`` force the per-shard capacities (must be
+    >= the computed minimum) so partitions of different graphs share one
+    static shape — required when stacking replicas for data parallelism.
+    """
+    nn = int(g.num_nodes)
+    ne = int(g.num_edges)
+    s = np.asarray(g.senders)[:ne]
+    r = np.asarray(g.receivers)[:ne]
+    w = None if g.edge_weight is None else np.asarray(g.edge_weight)[:ne]
+
+    if parts is None:
+        bounds = np.linspace(0, nn, num_parts + 1).astype(np.int64)
+        parts = np.zeros(nn, np.int32)
+        for p in range(num_parts):
+            parts[bounds[p]:bounds[p + 1]] = p
+    else:
+        parts = np.asarray(parts, np.int32)
+
+    owned = [np.nonzero(parts == p)[0] for p in range(num_parts)]
+    n_min = round_up(max(max(len(o) for o in owned), 1), node_multiple)
+    n_local = n_local if n_local is not None else n_min
+    if n_local < n_min:
+        raise ValueError(f"n_local {n_local} < required {n_min}")
+    glob2loc = np.zeros(nn, np.int64)
+    for p, o in enumerate(owned):
+        glob2loc[o] = np.arange(len(o))
+
+    # edges by receiver part
+    e_part = parts[r]
+    edges_of = [np.nonzero(e_part == p)[0] for p in range(num_parts)]
+    e_min = round_up(max(max(len(e) for e in edges_of), 1), edge_multiple)
+    e_local = e_local if e_local is not None else e_min
+    if e_local < e_min:
+        raise ValueError(f"e_local {e_local} < required {e_min}")
+
+    # halo sets: for each (src_part q -> dst_part p), unique senders owned by
+    # q that p's edges reference
+    halo_nodes = [[np.unique(glob2loc[
+        s[edges_of[p]][parts[s[edges_of[p]]] == q]]).astype(np.int64)
+        for p in range(num_parts)] for q in range(num_parts)]
+    h_min = max(1, max(len(halo_nodes[q][p]) for q in range(num_parts)
+                       for p in range(num_parts)))
+    h_max = h_max if h_max is not None else h_min
+    if h_max < h_min:
+        raise ValueError(f"h_max {h_max} < required {h_min}")
+
+    node_global = np.zeros((num_parts, n_local), np.int32)
+    node_mask = np.zeros((num_parts, n_local), bool)
+    recv_local = np.zeros((num_parts, e_local), np.int32)
+    send_halo_idx = np.zeros((num_parts, e_local), np.int32)
+    edge_mask = np.zeros((num_parts, e_local), bool)
+    halo_send = np.zeros((num_parts, num_parts, h_max), np.int32)
+    ew = (np.zeros((num_parts, e_local), w.dtype)
+          if w is not None else None)
+
+    for p in range(num_parts):
+        o = owned[p]
+        node_global[p, :len(o)] = o
+        if len(o):
+            node_global[p, len(o):] = o[-1]
+        node_mask[p, :len(o)] = True
+
+        # position-in-halo-buffer lookup for shard p's edges:
+        # the buffer received on p is [P, h_max]; row q holds halo_nodes[q][p]
+        pos = {}
+        for q in range(num_parts):
+            hn = halo_nodes[q][p]
+            for i, loc in enumerate(hn):
+                pos[(q, int(loc))] = q * h_max + i
+
+        eidx = edges_of[p]
+        sm = s[eidx]
+        recv_local[p, :len(eidx)] = glob2loc[r[eidx]]
+        send_halo_idx[p, :len(eidx)] = [
+            pos[(int(parts[gs]), int(glob2loc[gs]))] for gs in sm]
+        edge_mask[p, :len(eidx)] = True
+        if w is not None:
+            ew[p, :len(eidx)] = w[eidx]
+
+    for q in range(num_parts):
+        for p in range(num_parts):
+            hn = halo_nodes[q][p]
+            halo_send[q, p, :len(hn)] = hn
+
+    return PartitionedGraph(
+        node_global=jnp.asarray(node_global),
+        node_mask=jnp.asarray(node_mask),
+        recv_local=jnp.asarray(recv_local),
+        send_halo_idx=jnp.asarray(send_halo_idx),
+        edge_mask=jnp.asarray(edge_mask),
+        halo_send=jnp.asarray(halo_send),
+        edge_weight=None if ew is None else jnp.asarray(ew),
+        num_parts=num_parts, n_local=n_local, e_local=e_local, h_max=h_max,
+    )

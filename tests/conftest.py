@@ -6,13 +6,20 @@ the forced host platform device count. Must set env before importing jax.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the sandbox exports JAX_PLATFORMS=axon (tunneled TPU) and a
+# sitecustomize registers the axon PJRT plugin at interpreter start, ignoring
+# the env var — so set the config explicitly too (below, after import).
+# Tests use the virtual 8-device CPU mesh; TPU-path coverage comes from
+# bench.py / __graft_entry__ on hardware.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # Finite-difference gradient checks run in float64, like the reference's
 # FiniteDifferences-based machinery (test_module.jl:59-64). CPU-only suite.

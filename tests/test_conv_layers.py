@@ -16,7 +16,9 @@ import graphneuralnetworks_tpu as gnn
 from graphneuralnetworks_tpu import models as M
 
 IN, OUT, EIN = 4, 5, 3
-RTOL, ATOL = 1e-4, 1e-6
+# float64 FD against a network whose *other* params stay float32: rounding
+# noise floor is ~1e-5 on O(10) losses.
+RTOL, ATOL = 1e-4, 1e-5
 
 
 def _x(g, d=IN, seed=0):
