@@ -1,0 +1,219 @@
+"""Neighbor sampling: minibatch subgraphs for large-graph training.
+
+Reference parity: GNNGraphs/src/sampling.jl — ``sample_neighbors`` (per-node
+inbound/outbound edge sampling with/without replacement, keeping ``EID`` edge
+ids, :68-118), ``induced_subgraph`` (:173-203) — and
+GNNGraphs/src/samplers.jl:28-105 — ``NeighborLoader``, the layered
+GraphSAGE-style minibatch iterator with a neighbor cache.
+
+TPU-first: the sampler is host-side (numpy, optionally the C fast path in
+graphneuralnetworks_tpu/native) and emits **fixed-fanout, fixed-shape**
+padded GraphTuples, so the device-side training step compiles once and the
+host pipeline double-buffers batches (SURVEY §7.1).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from .graph import GraphTuple, graph, round_up
+
+__all__ = ["sample_neighbors", "induced_subgraph", "NeighborLoader"]
+
+
+def _csr_by(ids: np.ndarray, nn: int):
+    """Group edge indices by node id: returns (order, ptr)."""
+    order = np.argsort(ids, kind="stable")
+    counts = np.bincount(ids, minlength=nn)
+    ptr = np.concatenate([[0], np.cumsum(counts)])
+    return order, ptr
+
+
+def sample_neighbors(g: GraphTuple, nodes, K: int = -1, *,
+                     dir: str = "in", replace: bool = False,
+                     dropnodes: bool = False,
+                     rng: np.random.Generator | None = None) -> GraphTuple:
+    """Sample up to K incident edges per seed node (sampling.jl:68-118).
+
+    ``dir="in"`` samples edges arriving at the seed nodes (the reference
+    default). The result keeps all original node ids (or remapped ids with
+    ``dropnodes=True``, reference's ``NID``/``DID``), and stores the original
+    edge ids in ``edata["EID"]``.
+    """
+    rng = rng or np.random.default_rng()
+    nn = int(g.num_nodes)
+    ne = int(g.num_edges)
+    s = np.asarray(g.senders)[:ne]
+    r = np.asarray(g.receivers)[:ne]
+    key = r if dir == "in" else s
+    order, ptr = _csr_by(key, nn)
+
+    chosen: list[np.ndarray] = []
+    for v in np.asarray(nodes, dtype=np.int64).reshape(-1):
+        lo, hi = ptr[v], ptr[v + 1]
+        deg = hi - lo
+        if deg == 0:
+            continue
+        k = deg if K < 0 else K
+        if replace:
+            pick = rng.integers(lo, hi, k)
+        else:
+            k = min(k, deg)
+            pick = lo + rng.permutation(deg)[:k]
+        chosen.append(order[pick])
+    eid = (np.concatenate(chosen) if chosen
+           else np.zeros(0, np.int64))
+
+    s2, r2 = s[eid], r[eid]
+    w = g.edge_weight
+    w2 = None if w is None else np.asarray(w)[:ne][eid]
+    edata = {"EID": eid.astype(np.int32)}
+    for kk, v in g.edges.items():
+        edata[kk] = np.asarray(v)[:ne][eid]
+
+    if dropnodes:
+        used = np.unique(np.concatenate([s2, r2])) if len(s2) else \
+            np.zeros(0, np.int64)
+        remap = -np.ones(nn, np.int64)
+        remap[used] = np.arange(len(used))
+        s2 = remap[s2].astype(np.int32)
+        r2 = remap[r2].astype(np.int32)
+        nodes_d = {"NID": used.astype(np.int32)}
+        for kk, v in g.nodes.items():
+            nodes_d[kk] = np.asarray(v)[:nn][used]
+        return graph(s2, r2, num_nodes=len(used), nodes=nodes_d,
+                     edges=edata, edge_weight=w2)
+    nodes_d = {kk: np.asarray(v)[:nn] for kk, v in g.nodes.items()} or None
+    return graph(s2, r2, num_nodes=nn, nodes=nodes_d, edges=edata,
+                 edge_weight=w2)
+
+
+def induced_subgraph(g: GraphTuple, nodes) -> GraphTuple:
+    """Subgraph on a node subset with remapping (sampling.jl:173-203)."""
+    nn = int(g.num_nodes)
+    ne = int(g.num_edges)
+    nodes = np.asarray(nodes, np.int64).reshape(-1)
+    mask = np.zeros(nn, bool)
+    mask[nodes] = True
+    remap = -np.ones(nn, np.int64)
+    remap[nodes] = np.arange(len(nodes))
+    s = np.asarray(g.senders)[:ne]
+    r = np.asarray(g.receivers)[:ne]
+    keep = mask[s] & mask[r]
+    ndata = {k: np.asarray(v)[:nn][nodes] for k, v in g.nodes.items()}
+    edata = {k: np.asarray(v)[:ne][keep] for k, v in g.edges.items()}
+    w = g.edge_weight
+    return graph(remap[s[keep]], remap[r[keep]], num_nodes=len(nodes),
+                 nodes=ndata or None, edges=edata or None,
+                 edge_weight=None if w is None else np.asarray(w)[:ne][keep])
+
+
+class NeighborLoader:
+    """Layered fixed-fanout minibatch iterator (samplers.jl:28-105).
+
+    Yields padded GraphTuples whose nodes are [seed_batch | sampled
+    neighborhood]; ``ndata["NID"]`` holds original ids, ``ndata["seed_mask"]``
+    flags the seed rows (leading ``batch_size`` slots). Shapes are identical
+    across batches: n_pad/e_pad are computed from the worst-case fanout
+    product, so one compiled train step serves the whole epoch.
+    """
+
+    def __init__(self, g: GraphTuple, *, num_neighbors: Sequence[int],
+                 input_nodes=None, batch_size: int = 32,
+                 replace: bool = False, shuffle: bool = True,
+                 seed: int = 0):
+        self.g = g
+        self.num_neighbors = list(num_neighbors)
+        self.batch_size = int(batch_size)
+        self.replace = replace
+        self.shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
+        nn = int(g.num_nodes)
+        self.input_nodes = (np.arange(nn, dtype=np.int64)
+                            if input_nodes is None
+                            else np.asarray(input_nodes, np.int64))
+        ne = int(g.num_edges)
+        self._s = np.asarray(g.senders)[:ne]
+        self._r = np.asarray(g.receivers)[:ne]
+        self._order, self._ptr = _csr_by(self._r, nn)
+
+        # worst-case capacities
+        max_nodes = self.batch_size
+        max_edges = 0
+        frontier = self.batch_size
+        for k in self.num_neighbors:
+            max_edges += frontier * k
+            frontier *= k
+            max_nodes += frontier
+        self.n_pad = round_up(max_nodes + 1, 8)
+        self.e_pad = round_up(max(max_edges, 1), 128)
+
+    def __len__(self):
+        return (len(self.input_nodes) + self.batch_size - 1) \
+            // self.batch_size
+
+    def __iter__(self) -> Iterator[GraphTuple]:
+        seeds_all = self.input_nodes.copy()
+        if self.shuffle:
+            self._rng.shuffle(seeds_all)
+        bs = self.batch_size
+        for i in range(0, len(seeds_all), bs):
+            seeds = seeds_all[i:i + bs]
+            if len(seeds) < bs:  # repeat-pad the final short batch
+                seeds = np.concatenate(
+                    [seeds, seeds_all[: bs - len(seeds)]])
+            yield self._sample_batch(seeds)
+
+    def _sample_batch(self, seeds: np.ndarray) -> GraphTuple:
+        try:
+            from .native import sample_layers as _native_sample
+        except Exception:
+            _native_sample = None
+        if _native_sample is not None:
+            nid, es, er = _native_sample(
+                self._order, self._ptr, seeds, self.num_neighbors,
+                self.replace, int(self._rng.integers(0, 2 ** 31 - 1)),
+                self._s)
+        else:
+            nid, es, er = self._sample_py(seeds)
+        # nid: original node ids (seeds first, unique); es/er: edges in
+        # *local* ids
+        g = self.g
+        nn = int(g.num_nodes)
+        ndata = {"NID": nid.astype(np.int32),
+                 "seed_mask": (np.arange(len(nid)) < len(seeds))}
+        for k, v in g.nodes.items():
+            ndata[k] = np.asarray(v)[:nn][nid]
+        return graph(es, er, num_nodes=len(nid), nodes=ndata,
+                     n_pad=self.n_pad, e_pad=self.e_pad)
+
+    def _sample_py(self, seeds: np.ndarray):
+        local = {int(v): i for i, v in enumerate(seeds)}
+        nid = list(seeds)
+        es, er = [], []
+        frontier = list(seeds)
+        for k in self.num_neighbors:
+            nxt = []
+            for v in frontier:
+                lo, hi = self._ptr[v], self._ptr[v + 1]
+                deg = hi - lo
+                if deg == 0:
+                    continue
+                if self.replace:
+                    pick = self._rng.integers(lo, hi, k)
+                else:
+                    kk = min(k, deg)
+                    pick = lo + self._rng.permutation(deg)[:kk]
+                for e in self._order[pick]:
+                    u = int(self._s[e])
+                    if u not in local:
+                        local[u] = len(nid)
+                        nid.append(u)
+                        nxt.append(u)
+                    es.append(local[u])
+                    er.append(local[int(v)])
+            frontier = nxt
+        return (np.asarray(nid, np.int64), np.asarray(es, np.int32),
+                np.asarray(er, np.int32))

@@ -1,0 +1,104 @@
+"""Sampling tests: sample_neighbors / induced_subgraph / NeighborLoader
+(native C++ path vs numpy fallback).
+
+Reference analogs: GNNGraphs/test/sampling.jl and samplers.jl.
+"""
+
+import numpy as np
+import pytest
+
+import graphneuralnetworks_tpu as gnn
+from graphneuralnetworks_tpu.sampling import (NeighborLoader,
+                                              induced_subgraph,
+                                              sample_neighbors)
+
+
+def test_sample_neighbors_basic(rng):
+    g = gnn.rand_graph(50, 400, seed=0)
+    seeds = np.arange(10)
+    sub = sample_neighbors(g, seeds, K=3, rng=rng)
+    ne = int(sub.num_edges)
+    assert ne <= 30
+    r = np.asarray(sub.receivers)[:ne]
+    assert set(r.tolist()) <= set(seeds.tolist())
+    # per-seed cap
+    cnt = np.bincount(r, minlength=50)
+    assert cnt.max() <= 3
+    # EID maps back to real edges of g
+    eid = np.asarray(sub.edges["EID"])[:ne]
+    gs = np.asarray(g.senders)
+    gr = np.asarray(g.receivers)
+    ss = np.asarray(sub.senders)[:ne]
+    assert np.all(gs[eid] == ss) and np.all(gr[eid] == r)
+
+
+def test_sample_neighbors_all(rng):
+    g = gnn.rand_graph(30, 120, seed=1)
+    sub = sample_neighbors(g, np.arange(30), K=-1, rng=rng)
+    assert int(sub.num_edges) == int(g.num_edges)
+
+
+def test_induced_subgraph():
+    g = gnn.rand_graph(40, 200, seed=2)
+    nodes = np.arange(0, 40, 2)
+    sub = induced_subgraph(g, nodes)
+    assert int(sub.num_nodes) == 20
+    ne = int(sub.num_edges)
+    s = np.asarray(sub.senders)[:ne]
+    r = np.asarray(sub.receivers)[:ne]
+    assert s.max(initial=0) < 20 and r.max(initial=0) < 20
+    # edge count equals edges with both endpoints even
+    gs = np.asarray(g.senders)[: int(g.num_edges)]
+    gr = np.asarray(g.receivers)[: int(g.num_edges)]
+    expect = int(((gs % 2 == 0) & (gr % 2 == 0)).sum())
+    assert ne == expect
+
+
+@pytest.mark.parametrize("force_py", [False, True])
+def test_neighbor_loader_shapes(force_py, monkeypatch):
+    if force_py:
+        import graphneuralnetworks_tpu.sampling as S
+        monkeypatch.setattr("graphneuralnetworks_tpu.native.sample_layers",
+                            None, raising=False)
+    x = np.random.default_rng(0).standard_normal((200, 5)).astype(np.float32)
+    g = gnn.rand_graph(200, 2000, seed=3, nodes={"x": x})
+    loader = NeighborLoader(g, num_neighbors=[3, 2], batch_size=16, seed=1)
+    batches = list(loader)
+    assert len(batches) == len(loader)
+    shapes = {(b.n_pad, b.e_pad) for b in batches}
+    assert len(shapes) == 1  # uniform static shapes
+    b = batches[0]
+    nn = int(b.num_nodes)
+    nid = np.asarray(b.nodes["NID"])[:nn]
+    # seed rows first and features correctly gathered
+    np.testing.assert_allclose(np.asarray(b.nodes["x"])[:nn], x[nid],
+                               rtol=1e-6)
+    # every edge receiver is an in-batch node; senders valid
+    ne = int(b.num_edges)
+    assert np.asarray(b.senders)[:ne].max(initial=0) < nn
+    # edges are real edges of g (check a few via set membership)
+    es = set(zip(np.asarray(g.senders)[: int(g.num_edges)].tolist(),
+                 np.asarray(g.receivers)[: int(g.num_edges)].tolist()))
+    ss = nid[np.asarray(b.senders)[:ne]]
+    rr = nid[np.asarray(b.receivers)[:ne]]
+    for a, c in list(zip(ss.tolist(), rr.tolist()))[:50]:
+        assert (a, c) in es
+
+
+def test_native_sampler_available():
+    from graphneuralnetworks_tpu import native
+    assert native.available(), "C++ sampler failed to build"
+    g = gnn.rand_graph(100, 1000, seed=4)
+    ne = int(g.num_edges)
+    r = np.asarray(g.receivers)[:ne]
+    s = np.asarray(g.senders)
+    order = np.argsort(r, kind="stable")
+    ptr = np.concatenate([[0], np.cumsum(np.bincount(r, minlength=100))])
+    nid, es, er = native.sample_layers(order, ptr, np.arange(8), [4, 3],
+                                       False, 42, s[:ne])
+    assert len(nid) >= 8
+    assert es.max(initial=0) < len(nid)
+    # sampled edges exist in g
+    eset = set(zip(s[:ne][order].tolist(), r[order].tolist()))
+    for a, b in zip(nid[es].tolist(), nid[er].tolist()):
+        assert (a, b) in eset
