@@ -34,10 +34,17 @@ from .utils import (edge_encoding, edge_decoding, color_refinement,
                     check_num_nodes, check_num_edges)
 from .heterograph import (HeteroGraphTuple, Relation, heterograph,
                           rand_heterograph, rand_bipartite_heterograph,
-                          batch_hetero)
+                          batch_hetero, add_self_loops_hetero,
+                          add_edges_hetero)
 from .temporal import TemporalGraph
+from .datastore import DataStore
+from .sampling import sample_neighbors, induced_subgraph, NeighborLoader
+from .operators import intersect_graphs
+from .checkpoint import save_checkpoint, restore_checkpoint, latest_step
 from . import models
 from . import data
 from . import training
+from . import parallel
+from . import profiling
 
 __version__ = "0.1.0"

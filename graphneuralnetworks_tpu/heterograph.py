@@ -275,6 +275,72 @@ def rand_bipartite_heterograph(n1: int, n2: int, num_edges, *,
     return heterograph(rels, num_nodes={a: n1, b: n2})
 
 
+def add_self_loops_hetero(g: HeteroGraphTuple,
+                          etype: EType) -> HeteroGraphTuple:
+    """Add i->i edges for one relation whose src and dst types match
+    (gnnheterograph/transform.jl:20-76)."""
+    src_t, _, dst_t = etype
+    if src_t != dst_t:
+        raise ValueError("self loops need src type == dst type "
+                         "(transform.jl:20-41)")
+    rel = g.relations[etype]
+    ne = int(rel.num_edges)
+    n = int(g.num_nodes[src_t])
+    s = np.concatenate([np.asarray(rel.senders)[:ne], np.arange(n)])
+    r = np.concatenate([np.asarray(rel.receivers)[:ne], np.arange(n)])
+    w = rel.edge_weight
+    tup = (s, r)
+    if w is not None:
+        tup = tup + (np.concatenate([np.asarray(w)[:ne], np.ones(n)]),)
+    rels = {et: ((np.asarray(rr.senders)[: int(rr.num_edges)],
+                  np.asarray(rr.receivers)[: int(rr.num_edges)])
+                 + ((np.asarray(rr.edge_weight)[: int(rr.num_edges)],)
+                    if rr.edge_weight is not None else ()))
+            for et, rr in g.relations.items()}
+    rels[etype] = tup
+    return heterograph(
+        rels,
+        num_nodes={t: int(v) for t, v in g.num_nodes.items()},
+        node_data={t: {k: np.asarray(v)[: int(g.num_nodes[t])]
+                       for k, v in d.items()}
+                   for t, d in g.node_data.items()},
+        graph_data=g.graph_data)
+
+
+def add_edges_hetero(g: HeteroGraphTuple, etype: EType, senders, receivers,
+                     *, edge_weight=None) -> HeteroGraphTuple:
+    """Append edges to one relation (creating it if absent)
+    (gnnheterograph/transform.jl:92-163)."""
+    rels = {et: ((np.asarray(rr.senders)[: int(rr.num_edges)],
+                  np.asarray(rr.receivers)[: int(rr.num_edges)])
+                 + ((np.asarray(rr.edge_weight)[: int(rr.num_edges)],)
+                    if rr.edge_weight is not None else ()))
+            for et, rr in g.relations.items()}
+    s2 = np.asarray(senders, np.int32)
+    r2 = np.asarray(receivers, np.int32)
+    if etype in rels:
+        old = rels[etype]
+        s = np.concatenate([old[0], s2])
+        r = np.concatenate([old[1], r2])
+        if len(old) > 2 or edge_weight is not None:
+            ow = old[2] if len(old) > 2 else np.ones(len(old[0]))
+            nw = (np.asarray(edge_weight) if edge_weight is not None
+                  else np.ones(len(s2)))
+            rels[etype] = (s, r, np.concatenate([ow, nw]))
+        else:
+            rels[etype] = (s, r)
+    else:
+        rels[etype] = ((s2, r2) if edge_weight is None
+                       else (s2, r2, np.asarray(edge_weight)))
+    return heterograph(
+        rels,
+        num_nodes={t: int(v) for t, v in g.num_nodes.items()},
+        node_data={t: {k: np.asarray(v)[: int(g.num_nodes[t])]
+                       for k, v in d.items()}
+                   for t, d in g.node_data.items()},
+        graph_data=g.graph_data)
+
+
 def batch_hetero(graphs: Sequence[HeteroGraphTuple]) -> HeteroGraphTuple:
     """Disjoint union of hetero graphs (gnnheterograph/transform.jl:165-230).
 
