@@ -45,6 +45,27 @@ def attention_aggregate(g: GraphTuple, logits: jax.Array, values: jax.Array,
     n = num_segments if num_segments is not None else g.n_pad
     mask = g.edge_mask
 
+    # Fused Pallas path: segment-max kernel + denominator-fused weighted
+    # scatter-matmul (ops/pallas/edge_softmax.py). Engaged when the graph
+    # carries SpMM grouping metadata, the aggregation is over its own padded
+    # node set, and there is no attention dropout (which would not commute
+    # with the fused custom_vjp).
+    if (g.spmm_aux is not None and dropout is None
+            and n == g.n_pad and logits.ndim in (1, 2)
+            and values.ndim == logits.ndim + 1):
+        from .pallas.edge_softmax import edge_softmax_aggregate
+        squeeze = logits.ndim == 1
+        lg = logits[:, None] if squeeze else logits
+        vals = values[:, None, :] if squeeze else values
+        sl = self_logits
+        sv = self_values
+        if sl is not None and squeeze:
+            sl = sl[:, None]
+            sv = sv[:, None, :]
+        out = edge_softmax_aggregate(lg, vals, (g.spmm_aux[0], r, mask),
+                                     (n,), sl, sv)
+        return out[:, 0, :] if squeeze else out
+
     mx = segment_max(logits, r, n, mask=mask, sorted=g.sorted_by_receivers,
                      empty_value=None)  # [N, *H], -inf where no in-edges
     if self_logits is not None:
