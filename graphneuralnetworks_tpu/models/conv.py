@@ -151,6 +151,8 @@ class GCNConv(GNNLayer):
             x = g.x
         W = self.weight.value if conv_weight is None else conv_weight
         din, dout = W.shape
+        if isinstance(x, (tuple, list)):
+            return self._bipartite(g, x, W, norm_fn)
         if dout < din:
             x = x @ W
         c = _gcn_norm(g, edge_weight=edge_weight,
@@ -165,6 +167,27 @@ class GCNConv(GNNLayer):
         if self.bias is not None:
             x = x + self.bias.value
         return self.act(x) if self.act is not None else x
+
+    def _bipartite(self, g: GraphTuple, x, W, norm_fn):
+        """Hetero-relation path (GNNlib conv.jl:45-50, 68-70): separate
+        in/out-degree norms, weight applied after propagation, no virtual
+        self-loop (src and dst are different node sets)."""
+        xj, xi = _expand_srcdst(x)
+        ones = jnp.ones((g.e_pad,), xj.dtype)
+        dout_deg = segment_sum(ones, g.senders, xj.shape[0],
+                               mask=g.edge_mask)
+        din_deg = segment_sum(ones, g.receivers, xi.shape[0],
+                              mask=g.edge_mask, sorted=g.sorted_by_receivers)
+        nf = (norm_fn if norm_fn is not None else
+              lambda d: jnp.where(d > 0,
+                                  jax.lax.rsqrt(jnp.maximum(d, 1e-12)), 0.0))
+        cout, cin = nf(dout_deg), nf(din_deg)
+        m = propagate(copy_xj, g, "sum", xj=xj * cout[:, None])
+        m = m[: xi.shape[0]] * cin[:, None]
+        out = m @ W
+        if self.bias is not None:
+            out = out + self.bias.value
+        return self.act(out) if self.act is not None else out
 
 
 class ChebConv(GNNLayer):

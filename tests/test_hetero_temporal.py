@@ -178,3 +178,24 @@ def test_a3tgcn():
     x = jnp.asarray(rng.standard_normal((T, g.n_pad, N_IN)), jnp.float32)
     y = layer(g, x)
     assert y.shape == (g.n_pad, N_OUT)
+
+
+def test_gcn_conv_bipartite():
+    """GCNConv inside HeteroGraphConv (reference gcn_conv hetero branch)."""
+    import jax
+    g = make_hetero()
+    rngs = nnx.Rngs(0)
+    conv = M.HeteroGraphConv({
+        ("user", "rates", "movie"): M.GCNConv(4, 6, rngs=rngs),
+    })
+    x = {"user": jnp.ones((g.n_pad("user"), 4)),
+         "movie": jnp.ones((g.n_pad("movie"), 4))}
+    out = conv(g, x)
+    assert out["movie"].shape == (g.n_pad("movie"), 6)
+    assert np.isfinite(np.asarray(out["movie"])).all()
+
+    def loss(xx):
+        return jnp.sum(conv(g, xx)["movie"] ** 2)
+
+    grads = jax.grad(loss)(x)
+    assert float(jnp.abs(grads["user"]).sum()) > 0
