@@ -1,0 +1,111 @@
+"""Large-graph GraphSAGE with neighbor-sampled minibatches.
+
+Reference analog: the ogbn-products GraphSAGE recipe (BASELINE.md target) /
+NeighborLoader usage (GNNGraphs/src/samplers.jl:28-105). Zero-egress sandbox:
+runs on a large synthetic homophilous graph; the loader emits fixed-shape
+batches so the train step compiles once, and the C++ sampler keeps the host
+ahead of the device.
+"""
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+
+import graphneuralnetworks_tpu as gnn
+from graphneuralnetworks_tpu import models as M
+from graphneuralnetworks_tpu.sampling import NeighborLoader
+from graphneuralnetworks_tpu.training import TrainState, make_train_step
+
+
+def big_synthetic(n=50_000, avg_deg=10, classes=16, d=64, seed=0):
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, classes, n)
+    m = n * avg_deg // 2
+    src = rng.integers(0, n, 3 * m)
+    dst = rng.integers(0, n, 3 * m)
+    keep = (y[src] == y[dst]) | (rng.random(3 * m) < 0.15)
+    src, dst = src[keep][:m], dst[keep][:m]
+    proto = rng.standard_normal((classes, d)).astype(np.float32)
+    x = proto[y] + 0.8 * rng.standard_normal((n, d)).astype(np.float32)
+    s = np.concatenate([src, dst])
+    r = np.concatenate([dst, src])
+    return gnn.graph(s, r, num_nodes=n,
+                     nodes={"x": x, "y": y.astype(np.int32)}), classes
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--batch-size", type=int, default=512)
+    ap.add_argument("--fanout", type=int, nargs="+", default=[10, 10])
+    ap.add_argument("--nodes", type=int, default=50_000)
+    args = ap.parse_args()
+
+    g, n_classes = big_synthetic(args.nodes)
+    x_dim = g.nodes["x"].shape[-1]
+    print(f"graph {g}")
+
+    loader = NeighborLoader(g, num_neighbors=args.fanout,
+                            batch_size=args.batch_size, seed=0)
+    print(f"loader: {len(loader)} batches/epoch, "
+          f"n_pad={loader.n_pad} e_pad={loader.e_pad}")
+
+    rngs = nnx.Rngs(0)
+    model = M.GNNChain(
+        M.SAGEConv(x_dim, 128, jax.nn.relu, rngs=rngs),
+        M.SAGEConv(128, 128, jax.nn.relu, rngs=rngs),
+        nnx.Linear(128, n_classes, rngs=rngs),
+    )
+    state = TrainState(model, optax.adam(1e-3))
+
+    def loss_fn(m, gb):
+        logits = m(gb, gb.nodes["x"])
+        y = gb.nodes["y"]
+        mask = gb.nodes["seed_mask"] & gb.node_mask
+        ls = jax.nn.log_softmax(logits)
+        nll = -jnp.take_along_axis(ls, y[:, None].astype(jnp.int32),
+                                   axis=-1)[:, 0]
+        return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+    step = make_train_step(state, loss_fn)
+    params, opt_state = state.params, state.opt_state
+
+    @jax.jit
+    def acc_fn(params, gb):
+        m = state.model(params)
+        pred = jnp.argmax(m(gb, gb.nodes["x"]), -1)
+        mask = gb.nodes["seed_mask"] & gb.node_mask
+        return (jnp.sum((pred == gb.nodes["y"]) * mask), jnp.sum(mask))
+
+    for epoch in range(1, args.epochs + 1):
+        t0 = time.perf_counter()
+        n_batches = 0
+        for gb in loader:
+            params, opt_state, loss = step(params, opt_state, gb)
+            n_batches += 1
+        jax.block_until_ready(params)
+        dt = time.perf_counter() - t0
+        c = t = 0.0
+        for i, gb in enumerate(loader):
+            ci, ti = acc_fn(params, gb)
+            c += float(ci)
+            t += float(ti)
+            if i >= 10:
+                break
+        print(f"epoch {epoch}: {dt:.1f}s "
+              f"({n_batches * loader.e_pad / dt / 1e6:.2f} M sampled "
+              f"edges/s incl. host)  loss {float(loss):.3f}  "
+              f"train acc {c / max(t, 1):.3f}")
+
+
+if __name__ == "__main__":
+    main()
