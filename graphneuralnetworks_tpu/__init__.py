@@ -40,6 +40,8 @@ from .temporal import TemporalGraph
 from .datastore import DataStore
 from .sampling import sample_neighbors, induced_subgraph, NeighborLoader
 from .operators import intersect_graphs
+from .convert import (from_adjacency_list, to_scipy_sparse,
+                      from_scipy_sparse, to_dense_adjacency)
 from .checkpoint import save_checkpoint, restore_checkpoint, latest_step
 from . import models
 from . import data

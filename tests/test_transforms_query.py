@@ -225,3 +225,18 @@ def test_set_edge_weight_and_blockdiag():
     gb = gnn.blockdiag(g, g)
     assert int(gb.num_nodes) == 4 and int(gb.num_edges) == 4
     assert (2, 3) in edges_set(gb)
+
+
+def test_converters():
+    g = gnn.from_adjacency_list([[1, 2], [2], []])
+    assert edges_set(g) == {(0, 1), (0, 2), (1, 2)}
+    try:
+        import scipy.sparse  # noqa
+    except ImportError:
+        return
+    A = gnn.to_scipy_sparse(g)
+    assert A.shape == (3, 3) and A.nnz == 3
+    g2 = gnn.from_scipy_sparse(A)
+    assert edges_set(g2) == edges_set(g)
+    D = gnn.to_dense_adjacency(g)
+    assert D.shape == (3, 3) and D[0, 1] == 1
