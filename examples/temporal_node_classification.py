@@ -32,7 +32,7 @@ def make_series(g, T=200, seed=0):
     x = rng.standard_normal(g.n_pad).astype(np.float32)
     xs = []
     for _ in range(T):
-        x = 0.7 * (P @ x) + 0.3 * x + 0.05 * rng.standard_normal(g.n_pad)
+        x = 0.9 * (P @ x) + 0.4 * np.sin(x) + 0.01 * rng.standard_normal(g.n_pad)
         xs.append(x.copy())
     return np.stack(xs).astype(np.float32)  # [T, N]
 
