@@ -17,9 +17,34 @@ Prints ONE JSON line:
 """
 
 import json
+import signal
 import time
 
 import numpy as np
+
+
+class _PhaseTimeout(Exception):
+    pass
+
+
+def _with_deadline(fn, seconds):
+    """Run fn() with a SIGALRM deadline; returns None on timeout.
+
+    The remote-compile path can occasionally wedge; the benchmark must still
+    emit its JSON line with whatever phases completed.
+    """
+    def handler(signum, frame):
+        raise _PhaseTimeout()
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+    try:
+        return fn()
+    except _PhaseTimeout:
+        return None
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def _timeit_chained(propagate_fn, g, x0, iters):
@@ -54,27 +79,32 @@ def main():
     g = gnn.rand_graph(n, e, seed=0, build_spmm_aux=True)
     x = jnp.asarray(np.random.default_rng(0).standard_normal((g.n_pad, d)),
                     jnp.float32)
-    t_small = _timeit_chained(fused, g, x, 100)
+    t_small = _with_deadline(lambda: _timeit_chained(fused, g, x, 100), 600)
 
     # --- production-scale config --------------------------------------------
     n2, e2, d2 = 131072, 2_000_000, 128
     g2 = gnn.rand_graph(n2, e2, seed=1, build_spmm_aux=True)
     x2 = jnp.asarray(np.random.default_rng(1).standard_normal(
         (g2.n_pad, d2)), jnp.float32)
-    t_large = _timeit_chained(fused, g2, x2, 20)
-    t_large_xla = _timeit_chained(fused, g2.replace(spmm_aux=None), x2, 10)
+    t_large = _with_deadline(lambda: _timeit_chained(fused, g2, x2, 20), 600)
+    t_large_xla = _with_deadline(
+        lambda: _timeit_chained(fused, g2.replace(spmm_aux=None), x2, 10),
+        600)
 
     baseline_s = 268.6e-6  # reference fused SpMM, same op/config, CPU
     result = {
         "metric": "spmm_propagate_copy_xj_n1024_p0.01_d100",
-        "value": round(t_small * 1e6, 2),
+        "value": round(t_small * 1e6, 2) if t_small else None,
         "unit": "us",
-        "vs_baseline": round(baseline_s / t_small, 2),
-        "edges_per_s_small": round(e / t_small),
-        "large_graph_edges_per_s": round(e2 / t_large),
-        "large_graph_ms": round(t_large * 1e3, 3),
-        "large_graph_xla_fallback_ms": round(t_large_xla * 1e3, 3),
-        "pallas_speedup_vs_xla": round(t_large_xla / t_large, 2),
+        "vs_baseline": round(baseline_s / t_small, 2) if t_small else None,
+        "edges_per_s_small": round(e / t_small) if t_small else None,
+        "large_graph_edges_per_s": (round(e2 / t_large) if t_large
+                                    else None),
+        "large_graph_ms": round(t_large * 1e3, 3) if t_large else None,
+        "large_graph_xla_fallback_ms": (round(t_large_xla * 1e3, 3)
+                                        if t_large_xla else None),
+        "pallas_speedup_vs_xla": (round(t_large_xla / t_large, 2)
+                                  if t_large and t_large_xla else None),
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))
