@@ -50,16 +50,23 @@ def _with_deadline(fn, seconds):
 def _timeit_chained(propagate_fn, g, x0, iters):
     import jax
 
+    # NOTE: the graph is a jit *argument* (not a closure capture) so its
+    # index arrays are runtime inputs, not giant embedded HLO constants.
     @jax.jit
-    def run(x):
+    def run(g, x):
         def body(i, x):
             y = propagate_fn(g, x)
             return y * 0.001  # keep magnitudes bounded; forces dependency
         return jax.lax.fori_loop(0, iters, body, x)
 
-    run(x0).block_until_ready()  # compile + warm
+    # Warm/compile with DIFFERENT data, then time a single chained
+    # execution: the remote-execution layer content-caches repeated
+    # identical (executable, args) calls, so the timed call must be novel —
+    # and completion is confirmed by fetching a scalar of the result
+    # (block_until_ready alone can resolve at enqueue over the tunnel).
+    float(run(g, x0 + 1.0)[0, 0])
     t0 = time.perf_counter()
-    run(x0).block_until_ready()
+    float(run(g, x0)[0, 0])
     return (time.perf_counter() - t0) / iters
 
 
@@ -110,5 +117,29 @@ def main():
     print(json.dumps(result))
 
 
+def _arm_watchdog(seconds: int):
+    """If the main thread wedges inside a C call (remote compile), a daemon
+    thread still emits a JSON line and exits, so the harness gets output."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(seconds):
+            print(json.dumps({
+                "metric": "spmm_propagate_copy_xj_n1024_p0.01_d100",
+                "value": None, "unit": "us", "vs_baseline": None,
+                "error": f"benchmark wedged for {seconds}s "
+                         "(remote compile service)",
+            }), flush=True)
+            os._exit(0)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done
+
+
 if __name__ == "__main__":
+    _done = _arm_watchdog(1500)
     main()
+    _done.set()
