@@ -86,26 +86,27 @@ def benchmark_layers(layer_factories: dict, graph_sizes=(10, 100, 1000),
             layer = make(d, d)
             graphdef, state = nnx.split(layer)
 
+            # graph passed as a jit argument (not a closure constant)
             @jax.jit
-            def fwd(state, x):
+            def fwd(state, g, x):
                 return nnx.merge(graphdef, state)(g, x)
 
             @jax.jit
-            def grad(state, x):
+            def grad(state, g, x):
                 def loss(xx):
-                    return jnp.sum(fwd(state, xx) ** 2)
+                    return jnp.sum(fwd(state, g, xx) ** 2)
                 return jax.grad(loss)(x)
 
-            fwd(state, x).block_until_ready()
+            fwd(state, g, x).block_until_ready()
             t0 = time.perf_counter()
             for _ in range(iters):
-                out = fwd(state, x)
+                out = fwd(state, g, x)
             out.block_until_ready()
             t_f = (time.perf_counter() - t0) / iters
-            grad(state, x).block_until_ready()
+            grad(state, g, x).block_until_ready()
             t0 = time.perf_counter()
             for _ in range(iters):
-                gr = grad(state, x)
+                gr = grad(state, g, x)
             gr.block_until_ready()
             t_g = (time.perf_counter() - t0) / iters
             rows.append({"layer": name, "n": n,
