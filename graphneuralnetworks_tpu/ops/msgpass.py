@@ -60,10 +60,31 @@ def apply_edges(f: Callable, g: GraphTuple, xi=None, xj=None, e=None):
     ``xi``/``xj`` are node arrays ([N_pad, ...]) or dicts thereof; ``e`` is an
     edge array ([E_pad, ...]) or dict. Returns whatever ``f`` returns,
     evaluated on edge-shaped inputs. Reference: GNNlib/src/msgpass.jl:115-129.
+
+    When the graph carries SpMM grouping metadata, the gathers' *backward*
+    pass (a scatter-add, slow in XLA on TPU) runs through the Pallas
+    scatter-matmul kernel (ops/pallas/gather.py).
     """
     s, r = g.senders, g.receivers
-    xi_e = _map_leaves(lambda v: gather(v, r), xi)
-    xj_e = _map_leaves(lambda v: gather(v, s), xj)
+    if g.spmm_aux is not None:
+        from .pallas.gather import fast_gather
+        aux_fwd, aux_rev = g.spmm_aux
+
+        def take_r(v):
+            if v.ndim == 2 and v.shape[0] == g.n_pad:
+                return fast_gather(v, r, aux_fwd, g.n_pad)
+            return gather(v, r)
+
+        def take_s(v):
+            if v.ndim == 2 and v.shape[0] == g.n_pad:
+                return fast_gather(v, s, aux_rev, g.n_pad)
+            return gather(v, s)
+
+        xi_e = _map_leaves(take_r, xi)
+        xj_e = _map_leaves(take_s, xj)
+    else:
+        xi_e = _map_leaves(lambda v: gather(v, r), xi)
+        xj_e = _map_leaves(lambda v: gather(v, s), xj)
     return f(xi_e, xj_e, e)
 
 
