@@ -85,6 +85,9 @@ def orchestrate():
                 if t is not None:
                     break
             except subprocess.TimeoutExpired:
+                # a killed client can leave the remote compile service
+                # draining its orphaned request; give it time to recover
+                time.sleep(90)
                 continue
         results[phase] = t
 
