@@ -25,8 +25,6 @@ provides them on disk (same arrays; no download).
 from __future__ import annotations
 
 import dataclasses
-import os
-from typing import Sequence
 
 import numpy as np
 

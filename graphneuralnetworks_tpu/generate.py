@@ -10,12 +10,10 @@ GraphTuples to the device.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import numpy as np
 
 from .graph import GraphTuple, graph
-from .utils import edge_decoding, edge_encoding
+from .utils import edge_decoding
 
 __all__ = [
     "rand_graph",

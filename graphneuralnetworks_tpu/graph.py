@@ -25,7 +25,6 @@ treated as non-differentiable (the reference fences them with
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Mapping
 
 import jax

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .graph import GraphTuple, pad_sizes, round_up
+from .graph import GraphTuple, pad_sizes
 
 EType = tuple[str, str, str]
 

@@ -11,9 +11,6 @@ frontend, GNNLux/src/layers/basic.jl) with features-last arrays [N_pad, D].
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
-
-import jax
 import jax.numpy as jnp
 from flax import nnx
 

@@ -15,8 +15,6 @@ scan over stacked uniform snapshots).
 
 from __future__ import annotations
 
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 from flax import nnx

@@ -10,7 +10,6 @@ neighbor-wise), with padding masked out.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from ..graph import GraphTuple
 from .segment import (gather, segment_reduce, segment_softmax)

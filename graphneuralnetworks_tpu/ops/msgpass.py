@@ -23,13 +23,12 @@ pullback pairing Zygote uses in the reference).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Mapping
+from typing import Callable, Mapping
 
-import jax
 import jax.numpy as jnp
 
 from ..graph import GraphTuple
-from .segment import gather, segment_reduce, AGGREGATIONS
+from .segment import gather, segment_reduce
 
 __all__ = [
     "apply_edges",

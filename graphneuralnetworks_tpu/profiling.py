@@ -11,8 +11,6 @@ from __future__ import annotations
 import contextlib
 import json
 import time
-from typing import Callable
-
 import jax
 
 __all__ = ["trace", "StepTimer", "benchmark_layers"]

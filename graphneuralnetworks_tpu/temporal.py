@@ -23,9 +23,8 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from .graph import GraphTuple, graph
+from .graph import GraphTuple
 
 __all__ = ["TemporalGraph"]
 

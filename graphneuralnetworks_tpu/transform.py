@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .graph import GraphTuple, graph, pad_sizes, round_up
+from .graph import GraphTuple, graph
 
 __all__ = [
     "add_self_loops",
