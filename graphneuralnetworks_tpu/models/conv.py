@@ -253,6 +253,18 @@ class GraphConv(GNNLayer):
 # attention family
 # ---------------------------------------------------------------------------
 
+def _attn_dropout_masks(dropout_module, g, n_dst, h, deterministic,
+                        with_self):
+    """Multiplicative dropout masks for attention alphas (or None)."""
+    if dropout_module is None or deterministic:
+        return None
+    m_e = dropout_module(jnp.ones((g.e_pad, h), jnp.float32),
+                         deterministic=False)
+    m_s = (dropout_module(jnp.ones((n_dst, h), jnp.float32),
+                          deterministic=False) if with_self else None)
+    return (m_e, m_s)
+
+
 class GATConv(GNNLayer):
     """Graph attention (Velickovic et al.).
 
@@ -319,10 +331,12 @@ class GATConv(GNNLayer):
             self_values = Wxi
         else:
             self_logits = self_values = None
-        drop = (None if (self.attn_dropout is None or deterministic)
-                else lambda a: self.attn_dropout(a, deterministic=False))
+        masks = _attn_dropout_masks(self.attn_dropout, g, Wxi.shape[0],
+                                    self.heads, deterministic,
+                                    self.add_self_loops)
         out = attention_aggregate(g, logits, Wxj_e, self_logits=self_logits,
-                                  self_values=self_values, dropout=drop,
+                                  self_values=self_values,
+                                  dropout_masks=masks,
                                   num_segments=Wxi.shape[0])
         out = (out.reshape(-1, H * O) if self.concat else out.mean(axis=1))
         if self.bias is not None:
@@ -390,10 +404,12 @@ class GATv2Conv(GNNLayer):
             self_values = Wji
         else:
             self_logits = self_values = None
-        drop = (None if (self.attn_dropout is None or deterministic)
-                else lambda a: self.attn_dropout(a, deterministic=False))
+        masks = _attn_dropout_masks(self.attn_dropout, g, Wxi.shape[0],
+                                    self.heads, deterministic,
+                                    self.add_self_loops)
         out = attention_aggregate(g, logits, Wxj_e, self_logits=self_logits,
-                                  self_values=self_values, dropout=drop,
+                                  self_values=self_values,
+                                  dropout_masks=masks,
                                   num_segments=Wxi.shape[0])
         out = (out.reshape(-1, H * O) if self.concat else out.mean(axis=1))
         if self.bias is not None:

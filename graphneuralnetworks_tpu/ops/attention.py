@@ -6,11 +6,14 @@ This is the TPU-first replacement for the reference's pattern of
 materializing self-loop edges (which would change the static edge capacity
 under jit), the self term enters the softmax analytically. The math is
 identical to softmaxing over the union {in-edges} ∪ {self}.
+
+Attention dropout is expressed as precomputed multiplicative masks
+(0 or 1/(1-p)) on the normalized alphas — the reference's ``dropout(α)``
+(conv.jl:139) — which keeps both the XLA path and the fused Pallas kernel
+path (ops/pallas/edge_softmax.py) usable during training.
 """
 
 from __future__ import annotations
-
-from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -24,18 +27,18 @@ __all__ = ["attention_aggregate"]
 def attention_aggregate(g: GraphTuple, logits: jax.Array, values: jax.Array,
                         *, self_logits: jax.Array | None = None,
                         self_values: jax.Array | None = None,
-                        dropout: Callable[[jax.Array], jax.Array] | None = None,
+                        dropout_masks=None,
                         num_segments: int | None = None) -> jax.Array:
     """Softmax ``logits`` per receiving node and aggregate ``values``.
 
     Args:
       logits: [E_pad, *H] unnormalized attention scores per edge.
-      values: [E_pad, *H, D] messages per edge.
+      values: [E_pad, *H, D] messages.
       self_logits/self_values: optional [N, *H] / [N, *H, D] virtual
         self-loop terms entering each node's softmax (the analytic
         ``add_self_loops`` — see module docstring).
-      dropout: optional fn applied to the normalized attention coefficients
-        (the reference's `dropout(α)`, gat_conv conv.jl:139).
+      dropout_masks: optional (mask_e, mask_self-or-None) multiplicative
+        dropout scales applied to the normalized attention coefficients.
       num_segments: destination node count (defaults to ``g.n_pad``; pass the
         destination-side padded count for bipartite/hetero relations).
 
@@ -47,23 +50,25 @@ def attention_aggregate(g: GraphTuple, logits: jax.Array, values: jax.Array,
 
     # Fused Pallas path: segment-max kernel + denominator-fused weighted
     # scatter-matmul (ops/pallas/edge_softmax.py). Engaged when the graph
-    # carries SpMM grouping metadata, the aggregation is over its own padded
-    # node set, and there is no attention dropout (which would not commute
-    # with the fused custom_vjp).
-    if (g.spmm_aux is not None and dropout is None
-            and n == g.n_pad and logits.ndim in (1, 2)
+    # carries SpMM grouping metadata and the aggregation targets its own
+    # padded node set.
+    if (g.spmm_aux is not None and n == g.n_pad and logits.ndim in (1, 2)
             and values.ndim == logits.ndim + 1):
         from .pallas.edge_softmax import edge_softmax_aggregate
         squeeze = logits.ndim == 1
         lg = logits[:, None] if squeeze else logits
         vals = values[:, None, :] if squeeze else values
-        sl = self_logits
-        sv = self_values
-        if sl is not None and squeeze:
-            sl = sl[:, None]
-            sv = sv[:, None, :]
+        sl, sv = self_logits, self_values
+        dm = dropout_masks
+        if squeeze:
+            if sl is not None:
+                sl = sl[:, None]
+                sv = sv[:, None, :]
+            if dm is not None:
+                dm = (dm[0][:, None],
+                      dm[1][:, None] if dm[1] is not None else None)
         out = edge_softmax_aggregate(lg, vals, (g.spmm_aux[0], r, mask),
-                                     (n,), sl, sv)
+                                     (n,), sl, sv, dm)
         return out[:, 0, :] if squeeze else out
 
     mx = segment_max(logits, r, n, mask=mask, sorted=g.sorted_by_receivers,
@@ -82,14 +87,14 @@ def attention_aggregate(g: GraphTuple, logits: jax.Array, values: jax.Array,
     denom = jnp.maximum(denom, jnp.finfo(ex.dtype).tiny)
 
     alpha = ex / gather(denom, r)                        # [E, *H]
-    if dropout is not None:
-        alpha = dropout(alpha)
+    if dropout_masks is not None:
+        alpha = alpha * dropout_masks[0]
 
     out = segment_sum(alpha[..., None] * values, r, n,
                       sorted=g.sorted_by_receivers)
     if self_logits is not None:
         alpha_self = ex_self / denom                     # [N, *H]
-        if dropout is not None:
-            alpha_self = dropout(alpha_self)
+        if dropout_masks is not None and dropout_masks[1] is not None:
+            alpha_self = alpha_self * dropout_masks[1]
         out = out + alpha_self[..., None] * self_values
     return out

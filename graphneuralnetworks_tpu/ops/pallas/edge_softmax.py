@@ -94,7 +94,8 @@ def segment_max_grouped(logits: jax.Array, aux: SpmmAux, n_pad: int,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def edge_softmax_aggregate(logits, values, aux_receivers, static_args,
-                           self_logits=None, self_values=None):
+                           self_logits=None, self_values=None,
+                           dropout_masks=None):
     """Fused softmax-over-in-edges + weighted aggregation.
 
     Args:
@@ -104,17 +105,25 @@ def edge_softmax_aggregate(logits, values, aux_receivers, static_args,
         edge_mask: bool[E_pad]) — graph indexing (non-differentiable ints).
       static_args: (n_pad,) static.
       self_logits/self_values: optional [N, H] / [N, H, D] virtual self-loop.
+      dropout_masks: optional (mask_e [E_pad, H], mask_self [N, H] or None) —
+        attention-coefficient dropout scales (0 or 1/(1-p)), applied to the
+        normalized alphas like the reference's `dropout(α)` (the softmax
+        denominator is NOT dropped).
 
     Returns [N_pad, H, D].
     """
     out, _, _, _ = _fused_forward(logits, values, aux_receivers,
-                                  static_args, self_logits, self_values)
+                                  static_args, self_logits, self_values,
+                                  dropout_masks)
     return out
 
 
 def _fused_forward(logits, values, aux_receivers, static_args, self_logits,
-                   self_values):
+                   self_values, dropout_masks=None):
     aux, receivers, edge_mask = aux_receivers
+    mask_e = mask_self = None
+    if dropout_masks is not None:
+        mask_e, mask_self = dropout_masks
     (n_pad,) = static_args
     e_pad, h_dim = logits.shape
     d = values.shape[-1]
@@ -131,16 +140,21 @@ def _fused_forward(logits, values, aux_receivers, static_args, self_logits,
     ex = jnp.exp(lg - mx[receivers])                      # [E, H], 0 at pads
     ex = jnp.where(edge_mask[:, None], ex, 0.0)
 
-    # weighted scatter with the ones-column trick for the denominator
+    # weighted scatter with the ones-column trick for the denominator.
+    # Dropout (if any) multiplies the VALUES, so the numerator sees
+    # mask*ex*v while the ones column still accumulates plain ex.
+    v_num = values if mask_e is None else values * mask_e[..., None]
     ones = jnp.ones(values.shape[:-1] + (1,), values.dtype)
-    v_ext = jnp.concatenate([values, ones], -1)           # [E, H, D+1]
+    v_ext = jnp.concatenate([v_num, ones], -1)            # [E, H, D+1]
     num_den = _headwise_weighted_scatter(v_ext, ex, aux, n_pad)
     num = num_den[..., :d]                                # [N, H, D]
     den = num_den[..., d]                                 # [N, H]
     if self_logits is not None:
         ex_self = jnp.exp(self_logits - mx)               # [N, H]
         den = den + ex_self
-        num = num + ex_self[..., None] * self_values
+        sv = (self_values if mask_self is None
+              else self_values * mask_self[..., None])
+        num = num + ex_self[..., None] * sv
     den = jnp.maximum(den, jnp.finfo(num.dtype).tiny)
     out = num / den[..., None]
     return out, mx, den, ex
@@ -167,34 +181,43 @@ def _headwise_weighted_scatter(v, w, aux: SpmmAux, n_pad: int):
 
 
 def _fused_fwd(logits, values, aux_receivers, static_args, self_logits,
-               self_values):
+               self_values, dropout_masks=None):
     out, mx, den, ex = _fused_forward(logits, values, aux_receivers,
-                                      static_args, self_logits, self_values)
+                                      static_args, self_logits, self_values,
+                                      dropout_masks)
     res = (logits, values, aux_receivers, self_logits, self_values, out, mx,
-           den)
+           den, dropout_masks)
     return out, res
 
 
 def _fused_bwd(static_args, res, dy):
     (logits, values, aux_receivers, self_logits, self_values, out, mx,
-     den) = res
+     den, dropout_masks) = res
     aux, receivers, edge_mask = aux_receivers
+    mask_e = mask_self = None
+    if dropout_masks is not None:
+        mask_e, mask_self = dropout_masks
     alpha_e = jnp.where(
         edge_mask[:, None],
         jnp.exp(jnp.where(edge_mask[:, None], logits, -jnp.inf)
                 - mx[receivers]) / den[receivers], 0.0)   # [E, H]
+    m_alpha_e = alpha_e if mask_e is None else alpha_e * mask_e
     dy_e = dy[receivers]                                  # [E, H, D]
-    dv = alpha_e[..., None] * dy_e
-    # S_n = <out_n, dy_n> per head
+    dv = m_alpha_e[..., None] * dy_e
+    # S_n = <out_n, dy_n> per head (out already includes dropout scaling)
     s_n = jnp.sum(out * dy, -1)                           # [N, H]
-    dl = alpha_e * (jnp.sum(values * dy_e, -1) - s_n[receivers])
+    dl = (m_alpha_e * jnp.sum(values * dy_e, -1)
+          - alpha_e * s_n[receivers])
     if self_logits is not None:
         alpha_self = jnp.exp(self_logits - mx) / den      # [N, H]
-        dsl = alpha_self * (jnp.sum(self_values * dy, -1) - s_n)
-        dsv = alpha_self[..., None] * dy
+        m_alpha_self = (alpha_self if mask_self is None
+                        else alpha_self * mask_self)
+        dsl = (m_alpha_self * jnp.sum(self_values * dy, -1)
+               - alpha_self * s_n)
+        dsv = m_alpha_self[..., None] * dy
     else:
         dsl = dsv = None
-    return dl, dv, None, dsl, dsv
+    return dl, dv, None, dsl, dsv, None
 
 
 edge_softmax_aggregate.defvjp(_fused_fwd, _fused_bwd)

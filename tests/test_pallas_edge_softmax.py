@@ -105,3 +105,48 @@ def test_gat_layer_on_aux_graph_matches():
     y2 = layer(g_xla, x)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=2e-5,
                                atol=2e-5)
+
+
+def test_attention_dropout_masks_consistency():
+    """Dropout masks: fused path == XLA path given the same masks."""
+    g = _graph(n=40, e=160)
+    g_xla = g.replace(spmm_aux=None)
+    rng = np.random.default_rng(7)
+    h, d = 2, 4
+    logits = jnp.asarray(rng.standard_normal((g.e_pad, h)), jnp.float32)
+    values = jnp.asarray(rng.standard_normal((g.e_pad, h, d)), jnp.float32)
+    keep = jnp.asarray(rng.random((g.e_pad, h)) > 0.3, jnp.float32) / 0.7
+    masks = (keep, None)
+    out1 = attention_aggregate(g, logits, values, dropout_masks=masks)
+    out2 = attention_aggregate(g_xla, logits, values, dropout_masks=masks)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=2e-5, atol=2e-5)
+    # grads too
+    t = jnp.asarray(rng.standard_normal((g.n_pad, h, d)), jnp.float32)
+
+    def loss(gg, lg, v):
+        return jnp.sum(attention_aggregate(gg, lg, v, dropout_masks=masks)
+                       * t)
+
+    g1 = jax.grad(lambda lg, v: loss(g, lg, v), argnums=(0, 1))(logits,
+                                                                values)
+    g2 = jax.grad(lambda lg, v: loss(g_xla, lg, v), argnums=(0, 1))(logits,
+                                                                    values)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-5)
+
+
+def test_gat_dropout_training_mode():
+    """GAT with dropout: deterministic=False changes outputs, both paths
+    finite."""
+    from flax import nnx
+    from graphneuralnetworks_tpu import models as M
+    g = _graph(n=30, e=120)
+    layer = M.GATConv(4, 5, heads=2, dropout=0.5, rngs=nnx.Rngs(0))
+    x = jnp.asarray(np.random.default_rng(8).standard_normal(
+        (g.n_pad, 4)), jnp.float32)
+    y_det = layer(g, x, deterministic=True)
+    y_tr = layer(g, x, deterministic=False)
+    assert np.isfinite(np.asarray(y_tr)).all()
+    assert not np.allclose(np.asarray(y_det), np.asarray(y_tr))
