@@ -18,7 +18,8 @@ from .graph import GraphTuple, graph, from_dense_adjacency, pad_sizes
 from .query import (degree, adjacency_matrix, laplacian_matrix,
                     normalized_adjacency, normalized_laplacian,
                     scaled_laplacian, laplacian_lambda_max, graph_indicator,
-                    has_self_loops, has_multi_edges, is_bidirected, khop_adj,
+                    has_self_loops, has_multi_edges, is_bidirected, has_edge,
+                    has_isolated_nodes, is_directed, get_graph_type, khop_adj,
                     node_features, edge_features, graph_features,
                     adjacency_list, inneighbors, outneighbors)
 from .transform import (add_self_loops, remove_self_loops, remove_edges,

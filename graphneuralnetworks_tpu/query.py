@@ -30,6 +30,10 @@ __all__ = [
     "has_self_loops",
     "has_multi_edges",
     "is_bidirected",
+    "has_edge",
+    "has_isolated_nodes",
+    "is_directed",
+    "get_graph_type",
     "khop_adj",
     "node_features",
     "edge_features",
@@ -190,6 +194,29 @@ def is_bidirected(g: GraphTuple) -> jax.Array:
     support symmetry (suitable for padded sizes where dense fits)."""
     A = adjacency_matrix(g, weighted=False)
     return jnp.all((A > 0) == (A.T > 0))
+
+
+def has_edge(g: GraphTuple, i: int, j: int) -> jax.Array:
+    """Whether edge i->j exists (Graphs.has_edge parity)."""
+    return jnp.any((g.senders == i) & (g.receivers == j) & g.edge_mask)
+
+
+def has_isolated_nodes(g: GraphTuple, *, dir: str = "out") -> jax.Array:
+    """Any real node with zero degree (Graphs.has_isolated_nodes parity)."""
+    d = degree(g, dir=dir, edge_weight=False)
+    return jnp.any((d == 0) & g.node_mask)
+
+
+def is_directed(g: GraphTuple) -> bool:
+    """Edges are always directed in this framework (undirected inputs are
+    materialized with reverse edges, like the reference's COO path)."""
+    return True
+
+
+def get_graph_type(g: GraphTuple) -> str:
+    """The canonical representation — always padded COO (the reference's
+    :coo; :dense/:sparse live behind the converters in convert.py)."""
+    return "coo"
 
 
 def khop_adj(g: GraphTuple, k: int, *, dtype=jnp.float32) -> jax.Array:

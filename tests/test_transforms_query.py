@@ -240,3 +240,14 @@ def test_converters():
     assert edges_set(g2) == edges_set(g)
     D = gnn.to_dense_adjacency(g)
     assert D.shape == (3, 3) and D[0, 1] == 1
+
+
+def test_graphs_parity_queries():
+    g = gnn.graph([0, 1], [1, 2], num_nodes=4)
+    assert bool(gnn.has_edge(g, 0, 1))
+    assert not bool(gnn.has_edge(g, 1, 0))
+    assert bool(gnn.has_isolated_nodes(g))  # node 3 isolated
+    g2 = gnn.graph([0, 1, 2, 3], [1, 2, 3, 0], num_nodes=4)
+    assert not bool(gnn.has_isolated_nodes(g2))
+    assert gnn.is_directed(g) is True
+    assert gnn.get_graph_type(g) == "coo"
