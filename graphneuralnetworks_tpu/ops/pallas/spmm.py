@@ -91,30 +91,38 @@ def build_spmm_aux(receivers, senders, num_edges: int, n_pad: int,
         raise ValueError("build_spmm_aux requires receiver-sorted edges")
     n_nblk = max(1, -(-n_pad // bn))
 
-    rows, bs, brl, bperm = [], [], [], []
+    # Fully vectorized (no per-node-block Python loop — matters at
+    # ogbn-scale where n_nblk is in the tens of thousands).
     bounds = np.searchsorted(r, np.arange(0, n_nblk + 1) * bn)
-    for b in range(n_nblk):
-        lo, hi = int(bounds[b]), int(bounds[b + 1])
-        cnt = hi - lo
-        # node blocks with zero edges still get one all-dummy edge block so
-        # the kernel zero-initializes their output rows (pallas outputs are
-        # uninitialized unless written).
-        nb = max(1, -(-cnt // be))
-        pad = nb * be - cnt
-        ss = np.concatenate([s[lo:hi], np.zeros(pad, np.int32)])
-        rl = np.concatenate([r[lo:hi] - b * bn, np.full(pad, -1, np.int32)])
-        pp = np.concatenate([ids[lo:hi],
-                             np.full(pad, e_pad, np.int32)])
-        rows.extend([b] * nb)
-        bs.append(ss.reshape(nb, be))
-        brl.append(rl.reshape(nb, be))
-        bperm.append(pp.reshape(nb, be))
+    cnt = np.diff(bounds)                              # edges per node block
+    # node blocks with zero edges still get one all-dummy edge block so the
+    # kernel zero-initializes their output rows (pallas outputs are
+    # uninitialized unless written).
+    nb = np.maximum(1, -(-cnt // be))                  # edge blocks per node
+    slot_base = np.concatenate([[0], np.cumsum(nb * be)])[:-1]
+    total = int(np.sum(nb)) * be
+
+    senders_flat = np.zeros(total, np.int32)
+    recv_flat = np.full(total, -1, np.int32)
+    perm_flat = np.full(total, e_pad, np.int32)
+    if num_edges:
+        # edges are sorted by receiver (hence by node block), so the
+        # per-edge block offset is a repeat over blocks — no per-edge
+        # fancy-index gathers. int32 arithmetic when the slot space fits
+        # (halves host memory bandwidth, the bottleneck on this path).
+        dt = np.int32 if total < 2**31 else np.int64
+        dest = (np.repeat((slot_base - bounds[:-1]).astype(dt), cnt)
+                + np.arange(num_edges, dtype=dt))
+        senders_flat[dest] = s
+        recv_flat[dest] = r % bn
+        perm_flat[dest] = ids
+    rows = np.repeat(np.arange(n_nblk, dtype=np.int32), nb)
 
     return SpmmAux(
-        block_rows=jnp.asarray(np.asarray(rows, np.int32)),
-        senders_grp=jnp.asarray(np.concatenate(bs).astype(np.int32)),
-        recv_local=jnp.asarray(np.concatenate(brl).astype(np.int32)),
-        edge_perm=jnp.asarray(np.concatenate(bperm).astype(np.int32)),
+        block_rows=jnp.asarray(rows),
+        senders_grp=jnp.asarray(senders_flat.reshape(-1, be)),
+        recv_local=jnp.asarray(recv_flat.reshape(-1, be)),
+        edge_perm=jnp.asarray(perm_flat.reshape(-1, be)),
     )
 
 
