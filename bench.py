@@ -28,9 +28,12 @@ import sys
 import time
 
 # importance order: the large config is the headline; smalls are the
-# reference's exact micro-config for comparability.
+# reference's exact micro-config for comparability; sddmm/attention cover
+# the other two hot kernels named in BASELINE.md (forward+the fused
+# edge-softmax path every attention layer rides).
 PHASES = {"large_pallas": (3, 500), "large_xla": (2, 420),
-          "small_pallas": (2, 300), "small_xla": (2, 300)}
+          "small_pallas": (2, 300), "small_xla": (2, 300),
+          "sddmm": (2, 420), "attention": (2, 420)}
 
 
 def run_phase(phase: str) -> float:
@@ -51,16 +54,48 @@ def run_phase(phase: str) -> float:
         n, e, d, iters = 131072, 2_000_000, 128, 20
 
     g = gnn.rand_graph(n, e, seed=0 if small else 1, build_spmm_aux=True)
-    if not pallas:
+    if phase in ("large_xla", "small_xla"):
         g = g.replace(spmm_aux=None)
     x = jnp.asarray(np.random.default_rng(0).standard_normal((g.n_pad, d)),
                     jnp.float32)
 
-    @jax.jit
-    def run(g, x):
-        def body(i, x):
-            return ops.propagate(ops.copy_xj, g, "sum", xj=x) * 0.001
-        return jax.lax.fori_loop(0, iters, body, x)
+    if phase == "sddmm":
+        # per-edge dot of endpoint features (xi_dot_xj) — the score step of
+        # every attention layer (SURVEY §3.2).
+        @jax.jit
+        def run(g, x):
+            def body(i, x):
+                ee = ops.apply_edges(ops.xi_dot_xj, g, xi=x, xj=x)
+                return x * 0.999 + jnp.mean(ee) * 1e-6
+            return jax.lax.fori_loop(0, iters, body, x)
+    elif phase == "attention":
+        # the GAT hot path: node-level logit projections gathered per edge
+        # (narrow, cheap) + the single-pass flash softmax-aggregate kernel
+        # with node-level values (ops/pallas/edge_softmax.py).
+        from graphneuralnetworks_tpu.ops.attention import attention_aggregate
+        a1 = jnp.asarray(np.random.default_rng(2).standard_normal((d,)),
+                         jnp.float32)
+        a2 = jnp.asarray(np.random.default_rng(3).standard_normal((d,)),
+                         jnp.float32)
+
+        @jax.jit
+        def run(g, x):
+            def body(i, x):
+                # ops.gather widens scalar-per-row gathers to the vectorized
+                # DMA path (width-1 gathers are pathological on TPU)
+                pi, pj = x @ a1, x @ a2                       # [N] each
+                lg = jax.nn.leaky_relu(
+                    ops.gather(pi, g.receivers) + ops.gather(pj, g.senders),
+                    0.2)
+                out = attention_aggregate(g, lg, x, node_values=True)
+                return x * 0.9 + out * 0.01
+            return jax.lax.fori_loop(0, iters, body, x)
+    else:
+        @jax.jit
+        def run(g, x):
+            def body(i, x):
+                return ops.propagate(ops.copy_xj, g, "sum", xj=x) * 0.001
+            return jax.lax.fori_loop(0, iters, body, x)
 
     float(run(g, x + 1.0)[0, 0])          # compile + warm on novel data
     t0 = time.perf_counter()
@@ -115,6 +150,11 @@ def orchestrate():
         # single chip has ~0.3ms/step dispatch latency at this tiny size.
         "small_pallas_us": round(ts * 1e6, 2) if ts else None,
         "small_xla_us": round(tsx * 1e6, 2) if tsx else None,
+        # the other two hot kernels (BASELINE.md targets), same 2M-edge graph
+        "sddmm_edges_per_s": (round(e_large / results["sddmm"])
+                              if results.get("sddmm") else None),
+        "attention_edges_per_s": (round(e_large / results["attention"])
+                                  if results.get("attention") else None),
         "baseline_edges_per_s": round(baseline_edges_per_s),
     }
     print(json.dumps(out))

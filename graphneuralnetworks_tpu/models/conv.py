@@ -301,11 +301,6 @@ class GATConv(GNNLayer):
         self.add_self_loops = add_self_loops
         self.out_features = out_features
 
-    def _logits(self, z):
-        """leakyrelu(sum(a .* z)) per head (GNNlib conv.jl:152-167)."""
-        aww = jnp.einsum("...hf,fh->...h", z, self.a.value)
-        return jax.nn.leaky_relu(aww, self.negative_slope)
-
     def __call__(self, g: GraphTuple, x=None, e=None, *,
                  deterministic: bool = True):
         if x is None:
@@ -315,29 +310,37 @@ class GATConv(GNNLayer):
         Wxj = self.dense_x(xj).reshape(-1, H, O)
         Wxi = (Wxj if xi is xj
                else self.dense_x(xi).reshape(-1, H, O))
-        Wxi_e = gather(Wxi, g.receivers)
-        Wxj_e = gather(Wxj, g.senders)
-        parts = [Wxi_e, Wxj_e]
+        # GAT's score is linear in the concatenated endpoints
+        # (GNNlib conv.jl:152-167: leakyrelu(a' [Wxi; Wxj; We])), so the
+        # ``a`` contraction happens at NODE level and only the [E, H]
+        # scalar projections get gathered — never the [E, H, O] features.
+        a = self.a.value
+        pi = jnp.einsum("nhf,fh->nh", Wxi, a[:O])         # [N_dst, H]
+        pj = jnp.einsum("nhf,fh->nh", Wxj, a[O:2 * O])    # [N_src, H]
+        raw = gather(pi, g.receivers) + gather(pj, g.senders)
         if e is not None:
             if self.dense_e is None:
                 raise ValueError("edge features not configured")
             We = self.dense_e(e).reshape(-1, H, O)
-            parts.append(We)
+            raw = raw + jnp.einsum("ehf,fh->eh", We, a[2 * O:])
         elif self.dense_e is not None:
             raise ValueError("edge features required")
-        logits = self._logits(jnp.concatenate(parts, -1))
+        logits = jax.nn.leaky_relu(raw, self.negative_slope)
         if self.add_self_loops:
-            self_logits = self._logits(jnp.concatenate([Wxi, Wxi], -1))
+            pj_self = (pi + pj if xi is xj
+                       else pi + jnp.einsum("nhf,fh->nh", Wxi, a[O:2 * O]))
+            self_logits = jax.nn.leaky_relu(pj_self, self.negative_slope)
             self_values = Wxi
         else:
             self_logits = self_values = None
         masks = _attn_dropout_masks(self.attn_dropout, g, Wxi.shape[0],
                                     self.heads, deterministic,
                                     self.add_self_loops)
-        out = attention_aggregate(g, logits, Wxj_e, self_logits=self_logits,
+        out = attention_aggregate(g, logits, Wxj, self_logits=self_logits,
                                   self_values=self_values,
                                   dropout_masks=masks,
-                                  num_segments=Wxi.shape[0])
+                                  num_segments=Wxi.shape[0],
+                                  node_values=True)
         out = (out.reshape(-1, H * O) if self.concat else out.mean(axis=1))
         if self.bias is not None:
             out = out + self.bias.value
@@ -407,10 +410,11 @@ class GATv2Conv(GNNLayer):
         masks = _attn_dropout_masks(self.attn_dropout, g, Wxi.shape[0],
                                     self.heads, deterministic,
                                     self.add_self_loops)
-        out = attention_aggregate(g, logits, Wxj_e, self_logits=self_logits,
+        out = attention_aggregate(g, logits, Wxj, self_logits=self_logits,
                                   self_values=self_values,
                                   dropout_masks=masks,
-                                  num_segments=Wxi.shape[0])
+                                  num_segments=Wxi.shape[0],
+                                  node_values=True)
         out = (out.reshape(-1, H * O) if self.concat else out.mean(axis=1))
         if self.bias is not None:
             out = out + self.bias.value
@@ -443,9 +447,9 @@ class AGNNConv(GNNLayer):
             self_values = x
         else:
             self_logits = self_values = None
-        xj_e = gather(x, g.senders)
-        return attention_aggregate(g, logits, xj_e, self_logits=self_logits,
-                                   self_values=self_values)
+        return attention_aggregate(g, logits, x, self_logits=self_logits,
+                                   self_values=self_values,
+                                   node_values=True)
 
 
 class TransformerConv(GNNLayer):
@@ -498,13 +502,17 @@ class TransformerConv(GNNLayer):
         W4x = self.W4(x).reshape(-1, H, O)
         W3x_e = gather(W3x, g.receivers)
         key = gather(W4x, g.senders)
-        val = gather(W2x, g.senders)
+        # values stay node-level (W2x) unless edge features shift them
+        # per-edge; node-level values fuse the sender-gather into the
+        # aggregation kernel.
         if e is not None:
             if self.W6 is None:
                 raise ValueError("edge features not configured")
             W6e = self.W6(e).reshape(-1, H, O)
             key = key + W6e
-            val = val + W6e
+            val, node_vals = gather(W2x, g.senders) + W6e, False
+        else:
+            val, node_vals = W2x, True
         logits = jnp.sum(W3x_e * key, -1) / self.sqrt_out     # [E, H]
         if self.add_self_loops:
             self_logits = jnp.sum(W3x * W4x, -1) / self.sqrt_out
@@ -512,7 +520,8 @@ class TransformerConv(GNNLayer):
         else:
             self_logits = self_values = None
         h = attention_aggregate(g, logits, val, self_logits=self_logits,
-                                self_values=self_values)
+                                self_values=self_values,
+                                node_values=node_vals)
         h = h.reshape(-1, H * O) if self.concat else h.mean(axis=1)
         if W1x is not None:
             if self.W5 is not None:

@@ -28,12 +28,18 @@ def attention_aggregate(g: GraphTuple, logits: jax.Array, values: jax.Array,
                         *, self_logits: jax.Array | None = None,
                         self_values: jax.Array | None = None,
                         dropout_masks=None,
-                        num_segments: int | None = None) -> jax.Array:
+                        num_segments: int | None = None,
+                        node_values: bool = False) -> jax.Array:
     """Softmax ``logits`` per receiving node and aggregate ``values``.
 
     Args:
       logits: [E_pad, *H] unnormalized attention scores per edge.
-      values: [E_pad, *H, D] messages.
+      values: [E_pad, *H, D] messages — or, with ``node_values=True``,
+        [N_src_pad, *H, D] sender-side NODE values (edge e contributes
+        ``values[sender_e]``). Node-level values skip the [E, H, D]
+        materialization entirely on the fused path: the sender-gather is
+        fused into the scatter-matmul kernel, the single biggest HBM saving
+        on the attention stack (GAT-family layers' values are always W x_j).
       self_logits/self_values: optional [N, *H] / [N, *H, D] virtual
         self-loop terms entering each node's softmax (the analytic
         ``add_self_loops`` — see module docstring).
@@ -53,8 +59,10 @@ def attention_aggregate(g: GraphTuple, logits: jax.Array, values: jax.Array,
     # carries SpMM grouping metadata and the aggregation targets its own
     # padded node set.
     if (g.spmm_aux is not None and n == g.n_pad and logits.ndim in (1, 2)
-            and values.ndim == logits.ndim + 1):
-        from .pallas.edge_softmax import edge_softmax_aggregate
+            and values.ndim == logits.ndim + 1
+            and (not node_values or values.shape[0] == g.n_pad)):
+        from .pallas.edge_softmax import (edge_softmax_aggregate,
+                                          edge_softmax_aggregate_nodes)
         squeeze = logits.ndim == 1
         lg = logits[:, None] if squeeze else logits
         vals = values[:, None, :] if squeeze else values
@@ -67,9 +75,17 @@ def attention_aggregate(g: GraphTuple, logits: jax.Array, values: jax.Array,
             if dm is not None:
                 dm = (dm[0][:, None],
                       dm[1][:, None] if dm[1] is not None else None)
-        out = edge_softmax_aggregate(lg, vals, (g.spmm_aux[0], r, mask),
-                                     (n,), sl, sv, dm)
+        if node_values:
+            out = edge_softmax_aggregate_nodes(
+                lg, vals, g.spmm_aux, (r, g.senders, mask),
+                (n, vals.shape[0]), sl, sv, dm)
+        else:
+            out = edge_softmax_aggregate(lg, vals, (g.spmm_aux[0], r, mask),
+                                         (n,), sl, sv, dm)
         return out[:, 0, :] if squeeze else out
+
+    if node_values:
+        values = gather(values, g.senders)
 
     mx = segment_max(logits, r, n, mask=mask, sorted=g.sorted_by_receivers,
                      empty_value=None)  # [N, *H], -inf where no in-edges

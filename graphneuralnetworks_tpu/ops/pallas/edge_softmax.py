@@ -4,20 +4,23 @@ Reference semantics: ``softmax_edge_neighbors`` + weighted ``+`` aggregation
 (GNNlib/src/utils.jl:84-97 and the GAT stack, SURVEY §3.2): per destination
 node, softmax the incoming-edge logits and sum attention-weighted messages.
 
-TPU-first decomposition over the same receiver-block grouping as the SpMM
-kernel (ops/pallas/spmm.py):
+TPU-first design over the same receiver-block grouping as the SpMM kernel
+(ops/pallas/spmm.py): a SINGLE flash-attention-style pass (``_flash_kernel``)
+keeps a running per-row max m, denominator s, and numerator Y in VMEM while
+streaming edge blocks; each step rescales the accumulators by
+exp(m_old - m_new) and adds ``(one_hot * exp(lg - m_new)) @ V`` on the MXU.
+m and s come out as tiny per-node arrays so virtual self-loop terms fold in
+afterwards, overflow-safe (``_finalize_softmax``).
 
-1. ``segment_max_grouped`` — running-max accumulation per output row block
-   (VPU ``where`` + row-max, revisiting output blocks like the SpMM kernel).
-2. exp(logit - max) per edge (XLA elementwise on the tiny [E, H] array).
-3. one weighted scatter-matmul whose values get a **ones column appended**:
-   the denominator Z_n comes out as the extra feature column of the same
-   kernel invocation — no separate segment-sum pass over the big value
-   array.
+Two entry points share the kernel: :func:`edge_softmax_aggregate` for
+edge-level values and :func:`edge_softmax_aggregate_nodes` for NODE-level
+values (the GAT-family fast path — the sender-gather fuses into the kernel's
+grouped input, never materializing [E, H, D]).
 
 Backward is analytic (dv_e = α_e dY_[r_e]; dl_e = α_e(<v_e, dY_{r_e}> -
 <out_n, dY_n>)) and stays edge-parallel; a ``custom_vjp`` wires it up so jit
-training works end to end.
+training works end to end. ``segment_max_grouped`` (a standalone running-max
+kernel over the same grouping) remains exported for segment-max uses.
 """
 
 from __future__ import annotations
@@ -29,9 +32,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..segment import gather
 from .spmm import BN, SpmmAux, _scatter_grouped, _use_interpret
 
-__all__ = ["segment_max_grouped", "edge_softmax_aggregate"]
+__all__ = ["segment_max_grouped", "edge_softmax_aggregate",
+           "edge_softmax_aggregate_nodes"]
 
 
 def _segmax_kernel(block_rows_ref, recv_ref, lg_ref, out_ref):
@@ -71,7 +76,7 @@ def segment_max_grouped(logits: jax.Array, aux: SpmmAux, n_pad: int,
     be = aux.senders_grp.shape[1]
     h_dim = logits.shape[1]
     n_nblk = -(-n_pad // BN)
-    lg_grp = logits[aux.edge_perm]                       # [n_eblk, BE, H]
+    lg_grp = gather(logits, aux.edge_perm)               # [n_eblk, BE, H]
     lg_grp = jnp.swapaxes(lg_grp, 1, 2)                  # [n_eblk, H, BE]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -112,9 +117,9 @@ def edge_softmax_aggregate(logits, values, aux_receivers, static_args,
 
     Returns [N_pad, H, D].
     """
-    out, _, _, _ = _fused_forward(logits, values, aux_receivers,
-                                  static_args, self_logits, self_values,
-                                  dropout_masks)
+    out, _, _ = _fused_forward(logits, values, aux_receivers,
+                               static_args, self_logits, self_values,
+                               dropout_masks)
     return out
 
 
@@ -124,67 +129,41 @@ def _fused_forward(logits, values, aux_receivers, static_args, self_logits,
     mask_e = mask_self = None
     if dropout_masks is not None:
         mask_e, mask_self = dropout_masks
-    (n_pad,) = static_args
+    n_pad = static_args[0]
     e_pad, h_dim = logits.shape
-    d = values.shape[-1]
     neg = jnp.asarray(-jnp.inf, logits.dtype)
 
     # mask padded edges in the logit domain, add dummy -inf row for grouping
     lg = jnp.where(edge_mask[:, None], logits, neg)
     lg_ext = jnp.concatenate([lg, jnp.full((1, h_dim), neg, lg.dtype)])
-    mx = segment_max_grouped(lg_ext, aux, n_pad)          # [N, H]
-    if self_logits is not None:
-        mx = jnp.maximum(mx, self_logits)
-    mx = jnp.where(jnp.isneginf(mx), 0.0, mx)
-
-    ex = jnp.exp(lg - mx[receivers])                      # [E, H], 0 at pads
-    ex = jnp.where(edge_mask[:, None], ex, 0.0)
-
-    # weighted scatter with the ones-column trick for the denominator.
-    # Dropout (if any) multiplies the VALUES, so the numerator sees
-    # mask*ex*v while the ones column still accumulates plain ex.
-    v_num = values if mask_e is None else values * mask_e[..., None]
-    ones = jnp.ones(values.shape[:-1] + (1,), values.dtype)
-    v_ext = jnp.concatenate([v_num, ones], -1)            # [E, H, D+1]
-    num_den = _headwise_weighted_scatter(v_ext, ex, aux, n_pad)
-    num = num_den[..., :d]                                # [N, H, D]
-    den = num_den[..., d]                                 # [N, H]
-    if self_logits is not None:
-        ex_self = jnp.exp(self_logits - mx)               # [N, H]
-        den = den + ex_self
-        sv = (self_values if mask_self is None
-              else self_values * mask_self[..., None])
-        num = num + ex_self[..., None] * sv
-    den = jnp.maximum(den, jnp.finfo(num.dtype).tiny)
-    out = num / den[..., None]
-    return out, mx, den, ex
-
-
-def _headwise_weighted_scatter(v, w, aux: SpmmAux, n_pad: int):
-    """Σ_e w[e,h] * v[e,h,:] per receiver: loops heads over the SpMM kernel.
-
-    v: [E_pad, H, D']; w: [E_pad, H] -> [N, H, D'].
-    """
-    e_pad, h_dim, d = v.shape
-    outs = []
-    w_ext = jnp.concatenate([w, jnp.zeros((1, h_dim), w.dtype)])
-    # values are edge-level: grouped slots index by edge_perm (dummy slots
-    # carry id e_pad — clipped to a valid row, then killed by w_grp == 0 and
-    # recv_local == -1).
+    if mask_e is not None:
+        msk_ext = jnp.concatenate(
+            [mask_e, jnp.zeros((1, h_dim), mask_e.dtype)])
+    # edge-level values: grouped slots index by edge_perm (dummy slots carry
+    # id e_pad — clipped to a valid row, then killed by the -inf logit).
     perm_clipped = jnp.minimum(aux.edge_perm, e_pad - 1)
+    ys, ms, ss = [], [], []
     for h in range(h_dim):
-        vals_grp = v[:, h, :][perm_clipped]
-        w_grp = w_ext[:, h][aux.edge_perm]
-        outs.append(_scatter_grouped(vals_grp, aux, n_pad, w_grp=w_grp,
-                                     interpret=_use_interpret()))
-    return jnp.stack(outs, axis=1)                        # [N, H, D']
+        lg_grp = gather(lg_ext[:, h], aux.edge_perm)
+        msk_grp = (gather(msk_ext[:, h], aux.edge_perm)
+                   if mask_e is not None else jnp.ones_like(lg_grp))
+        v_grp = gather(values[:, h, :], perm_clipped)
+        y, m, s = _flash_grouped(v_grp, lg_grp, msk_grp, aux, n_pad)
+        ys.append(y)
+        ms.append(m)
+        ss.append(s)
+    num = jnp.stack(ys, axis=1)
+    m = jnp.stack(ms, axis=1)
+    den = jnp.stack(ss, axis=1)
+    return _finalize_softmax(num, m, den, self_logits, self_values,
+                             mask_self)
 
 
 def _fused_fwd(logits, values, aux_receivers, static_args, self_logits,
                self_values, dropout_masks=None):
-    out, mx, den, ex = _fused_forward(logits, values, aux_receivers,
-                                      static_args, self_logits, self_values,
-                                      dropout_masks)
+    out, mx, den = _fused_forward(logits, values, aux_receivers,
+                                  static_args, self_logits, self_values,
+                                  dropout_masks)
     res = (logits, values, aux_receivers, self_logits, self_values, out, mx,
            den, dropout_masks)
     return out, res
@@ -200,14 +179,15 @@ def _fused_bwd(static_args, res, dy):
     alpha_e = jnp.where(
         edge_mask[:, None],
         jnp.exp(jnp.where(edge_mask[:, None], logits, -jnp.inf)
-                - mx[receivers]) / den[receivers], 0.0)   # [E, H]
+                - gather(mx, receivers)) / gather(den, receivers),
+        0.0)                                              # [E, H]
     m_alpha_e = alpha_e if mask_e is None else alpha_e * mask_e
-    dy_e = dy[receivers]                                  # [E, H, D]
+    dy_e = gather(dy, receivers)                          # [E, H, D]
     dv = m_alpha_e[..., None] * dy_e
     # S_n = <out_n, dy_n> per head (out already includes dropout scaling)
     s_n = jnp.sum(out * dy, -1)                           # [N, H]
     dl = (m_alpha_e * jnp.sum(values * dy_e, -1)
-          - alpha_e * s_n[receivers])
+          - alpha_e * gather(s_n, receivers))
     if self_logits is not None:
         alpha_self = jnp.exp(self_logits - mx) / den      # [N, H]
         m_alpha_self = (alpha_self if mask_self is None
@@ -221,3 +201,460 @@ def _fused_bwd(static_args, res, dy):
 
 
 edge_softmax_aggregate.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# single-pass flash-softmax scatter (running max/sum/numerator in VMEM)
+# ---------------------------------------------------------------------------
+#
+# The two-pass decomposition (segment-max kernel, then exp, then weighted
+# scatter with a ones column for the denominator) costs three sweeps over
+# edge-sized arrays plus a lane-misaligned D+1 matmul. This kernel does the
+# whole softmax-aggregate in ONE sweep, flash-attention style: per edge
+# block it updates a running per-row max m, rescales the running numerator
+# Y and denominator s by exp(m_old - m_new), and accumulates
+# (one_hot * exp(lg - m_new)) @ V on the MXU. m and s come out as tiny
+# per-node outputs so self-loop terms can be folded in outside.
+
+
+def _flash_reset(y_ref, m_ref, s_ref, is_first):
+    @pl.when(is_first)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        s_ref[:] = jnp.zeros_like(s_ref)
+
+
+def _flash_update(hit, lg, msk, v_ref, y_ref, m_ref, s_ref):
+    """Online-softmax accumulator update for one edge block.
+
+    hit: [BN, BE] one-hot receiver mask; lg: [1, BE] logits (-inf at dummy
+    slots); msk: [1, BE] or None numerator-only scaling (attention dropout).
+    """
+    neg = jnp.asarray(-jnp.inf, lg.dtype)
+    lg_hit = jnp.where(hit, lg, neg)                      # [BN, BE]
+    m_old = m_ref[:, 0]                                   # [BN]
+    m_new = jnp.maximum(m_old, jnp.max(lg_hit, axis=1))
+    # rescale factor for the running accumulators; rows still at -inf keep 1
+    scale = jnp.where(m_new == neg, 1.0, jnp.exp(m_old - m_new))
+    # per-slot p = exp(lg - m_new[recv]); dummy slots (recv==-1, no hit) die
+    m_e = jnp.max(jnp.where(hit, m_new[:, None], neg), axis=0,
+                  keepdims=True)                          # [1, BE]
+    p = jnp.where(m_e == neg, 0.0, jnp.exp(lg - m_e))     # [1, BE]
+    s_ref[:, 0] = s_ref[:, 0] * scale + jnp.sum(
+        jnp.where(hit, p, 0.0), axis=1)
+    m_ref[:, 0] = m_new
+    # numerator: attention-dropout mask scales values but not the denominator
+    pw = p if msk is None else p * msk
+    one_hot_w = jnp.where(hit, pw, 0.0).astype(v_ref.dtype)
+    y_ref[:] = y_ref[:] * scale[:, None].astype(y_ref.dtype) + jax.lax.dot(
+        one_hot_w, v_ref[:], preferred_element_type=jnp.float32
+    ).astype(y_ref.dtype)
+
+
+def _flash_kernel(block_rows_ref, recv_ref, lg_ref, msk_ref, v_ref,
+                  y_ref, m_ref, s_ref):
+    k = pl.program_id(1)
+    b = block_rows_ref[k]
+    prev = block_rows_ref[jnp.maximum(k - 1, 0)]
+    _flash_reset(y_ref, m_ref, s_ref,
+                 jnp.logical_or(k == 0, b != prev))
+    recv = recv_ref[0]                                    # [1, BE]
+    rows = jax.lax.broadcasted_iota(jnp.int32,
+                                    (y_ref.shape[0], recv.shape[1]), 0)
+    _flash_update(rows == recv, lg_ref[0], msk_ref[0], v_ref, y_ref, m_ref,
+                  s_ref)
+
+
+def _flash_affine_kernel(block_rows_ref, recv_ref, pj_ref, pi_ref, v_ref,
+                         y_ref, m_ref, s_ref, *, slope: float):
+    """Flash update with GAT-affine logits computed IN-kernel.
+
+    ``lg = leaky_relu(pi[recv] + pj[sender], slope)`` — pi arrives as the
+    output row block (no gather at all), pj rides a grouped narrow gather.
+    No edge-space logit array ever exists.
+    """
+    k = pl.program_id(0)
+    b = block_rows_ref[k]
+    prev = block_rows_ref[jnp.maximum(k - 1, 0)]
+    _flash_reset(y_ref, m_ref, s_ref,
+                 jnp.logical_or(k == 0, b != prev))
+    neg = jnp.asarray(-jnp.inf, pj_ref.dtype)
+    recv = recv_ref[0]                                    # [1, BE]
+    rows = jax.lax.broadcasted_iota(jnp.int32,
+                                    (y_ref.shape[0], recv.shape[1]), 0)
+    hit = rows == recv                                    # [BN, BE]
+    # pi per slot via one-hot select; dummy slots (no hit) -> -inf
+    pi_e = jnp.max(jnp.where(hit, pi_ref[:, 0][:, None], neg), axis=0,
+                   keepdims=True)                         # [1, BE]
+    raw = pi_e + pj_ref[0]                                # [1, BE]
+    # leaky_relu; dummies guarded against slope * -inf = nan when slope == 0
+    lg = jnp.where(raw == neg, neg,
+                   jnp.where(raw >= 0, raw, slope * raw))
+    _flash_update(hit, lg, None, v_ref, y_ref, m_ref, s_ref)
+
+
+def _flash_grouped(values_grp: jax.Array, lg_grp: jax.Array,
+                   msk_grp: jax.Array, aux: SpmmAux, n_pad: int,
+                   *, interpret: bool | None = None):
+    """One-pass softmax-aggregate of grouped edge slots.
+
+    values_grp: [n_eblk, BE, D]; lg_grp/msk_grp: [n_eblk, BE].
+    Returns (Y [n_pad, D] unnormalized numerator, m [n_pad] running max,
+    s [n_pad] denominator sans self terms).
+    """
+    if interpret is None:
+        interpret = _use_interpret()
+    n_eblk, be, d = values_grp.shape
+    n_nblk = -(-n_pad // BN)
+    from .spmm import BD
+    bd = min(max(d, 128), BD)
+    d_padded = -(-d // bd) * bd
+    if d_padded != d:
+        values_grp = jnp.pad(values_grp,
+                             ((0, 0), (0, 0), (0, d_padded - d)))
+    n_dblk = d_padded // bd
+    vflat = values_grp.reshape(n_eblk * be, d_padded)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_dblk, n_eblk),
+        in_specs=[
+            pl.BlockSpec((1, 1, be), lambda j, k, br: (k, 0, 0)),
+            pl.BlockSpec((1, 1, be), lambda j, k, br: (k, 0, 0)),
+            pl.BlockSpec((1, 1, be), lambda j, k, br: (k, 0, 0)),
+            pl.BlockSpec((be, bd), lambda j, k, br: (k, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((BN, bd), lambda j, k, br: (br[k], j)),
+            pl.BlockSpec((BN, 1), lambda j, k, br: (br[k], 0)),
+            pl.BlockSpec((BN, 1), lambda j, k, br: (br[k], 0)),
+        ],
+    )
+    y, m, s = pl.pallas_call(
+        _flash_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_nblk * BN, d_padded), values_grp.dtype),
+            jax.ShapeDtypeStruct((n_nblk * BN, 1), lg_grp.dtype),
+            jax.ShapeDtypeStruct((n_nblk * BN, 1), lg_grp.dtype),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_eblk * be * BN * d_padded,
+            bytes_accessed=(n_eblk * be * d_padded
+                            + n_nblk * BN * d_padded)
+            * values_grp.dtype.itemsize,
+            transcendentals=n_eblk * be,
+        ),
+    )(aux.block_rows, aux.recv_local[:, None, :], lg_grp[:, None, :],
+      msk_grp[:, None, :], vflat)
+    return y[:n_pad, :d], m[:n_pad, 0], s[:n_pad, 0]
+
+
+def _flash_affine_grouped(values_grp, pj_grp, pi, aux: SpmmAux, n_pad: int,
+                          slope: float, *, interpret: bool | None = None):
+    """Affine-logit flash pass. values_grp: [n_eblk, BE, D] (D <= BD);
+    pj_grp: [n_eblk, BE]; pi: [n_pad]. Returns (Y, m, s) like
+    :func:`_flash_grouped`."""
+    if interpret is None:
+        interpret = _use_interpret()
+    n_eblk, be, d = values_grp.shape
+    n_nblk = -(-n_pad // BN)
+    from .spmm import BD
+    bd = min(max(d, 128), BD)
+    if -(-d // bd) * bd != bd:
+        raise ValueError("affine flash path requires D <= BD")
+    if bd != d:
+        values_grp = jnp.pad(values_grp, ((0, 0), (0, 0), (0, bd - d)))
+    vflat = values_grp.reshape(n_eblk * be, bd)
+    pi_col = jnp.pad(pi[:, None], ((0, n_nblk * BN - n_pad), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_eblk,),
+        in_specs=[
+            pl.BlockSpec((1, 1, be), lambda k, br: (k, 0, 0)),
+            pl.BlockSpec((1, 1, be), lambda k, br: (k, 0, 0)),
+            pl.BlockSpec((BN, 1), lambda k, br: (br[k], 0)),
+            pl.BlockSpec((be, bd), lambda k, br: (k, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((BN, bd), lambda k, br: (br[k], 0)),
+            pl.BlockSpec((BN, 1), lambda k, br: (br[k], 0)),
+            pl.BlockSpec((BN, 1), lambda k, br: (br[k], 0)),
+        ],
+    )
+    y, m, s = pl.pallas_call(
+        functools.partial(_flash_affine_kernel, slope=slope),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_nblk * BN, bd), values_grp.dtype),
+            jax.ShapeDtypeStruct((n_nblk * BN, 1), pj_grp.dtype),
+            jax.ShapeDtypeStruct((n_nblk * BN, 1), pj_grp.dtype),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_eblk * be * BN * bd,
+            bytes_accessed=(n_eblk * be * bd + n_nblk * BN * bd)
+            * values_grp.dtype.itemsize,
+            transcendentals=n_eblk * be,
+        ),
+    )(aux.block_rows, aux.recv_local[:, None, :], pj_grp[:, None, :],
+      pi_col, vflat)
+    return y[:n_pad, :d], m[:n_pad, 0], s[:n_pad, 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def gat_attention_nodes(pi, pj, values_n, auxes, ids, static_args,
+                        self_logits=None, self_values=None):
+    """GAT-family attention with logits ``leaky_relu(pi[r] + pj[s])`` fully
+    in-kernel: ZERO edge-space logit arrays, one grouped value gather, one
+    grouped narrow (pj) gather. The fastest attention path.
+
+    Args:
+      pi/pj: [N, H] receiver/sender logit projections (``a_i' W x`` /
+        ``a_j' W x``).
+      values_n: [N_src_pad, H, D] sender-side node values.
+      auxes: (aux_fwd, aux_rev); ids: (receivers, senders, edge_mask).
+      static_args: (n_dst_pad, n_src_pad, negative_slope).
+      self_logits/self_values: optional virtual self-loop terms.
+
+    Returns [N_dst_pad, H, D].
+    """
+    out, _, _ = _gat_forward(pi, pj, values_n, auxes, ids, static_args,
+                             self_logits, self_values)
+    return out
+
+
+def _gat_forward(pi, pj, values_n, auxes, ids, static_args, self_logits,
+                 self_values):
+    aux, _ = auxes
+    receivers, senders, edge_mask = ids
+    n_pad, _, slope = static_args
+    h_dim = pi.shape[1]
+    # Only real edges occupy live grouped slots (padded edges never enter
+    # the grouping; dummy slots have recv_local == -1 and die in-kernel),
+    # so pj rides the SAME senders_grp indexing as the values.
+    ys, ms, ss = [], [], []
+    for h in range(h_dim):
+        pj_grp = gather(pj[:, h], aux.senders_grp)        # [blk, BE]
+        v_grp = gather(values_n[:, h, :], aux.senders_grp)
+        y, m, s = _flash_affine_grouped(v_grp, pj_grp, pi[:, h], aux,
+                                        n_pad, slope)
+        ys.append(y)
+        ms.append(m)
+        ss.append(s)
+    num = jnp.stack(ys, axis=1)
+    m = jnp.stack(ms, axis=1)
+    den = jnp.stack(ss, axis=1)
+    return _finalize_softmax(num, m, den, self_logits, self_values, None)
+
+
+def _gat_fwd(pi, pj, values_n, auxes, ids, static_args, self_logits,
+             self_values):
+    out, mx, den = _gat_forward(pi, pj, values_n, auxes, ids, static_args,
+                                self_logits, self_values)
+    res = (pi, pj, values_n, auxes, ids, self_logits, self_values, out, mx,
+           den)
+    return out, res
+
+
+def _gat_bwd(static_args, res, dy):
+    from ..segment import segment_sum
+    (pi, pj, values_n, auxes, ids, self_logits, self_values, out, mx,
+     den) = res
+    aux, aux_rev = auxes
+    receivers, senders, edge_mask = ids
+    n_pad, n_src_pad, slope = static_args
+    h_dim = pi.shape[1]
+    raw = gather(pi, receivers) + gather(pj, senders)     # [E, H]
+    lg = jnp.where(raw >= 0, raw, slope * raw)
+    dsig = jnp.where(raw >= 0, 1.0, slope)
+    alpha_e = jnp.where(
+        edge_mask[:, None],
+        jnp.exp(jnp.where(edge_mask[:, None], lg, -jnp.inf)
+                - gather(mx, receivers)) / gather(den, receivers),
+        0.0)                                              # [E, H]
+
+    alpha_ext = jnp.concatenate(
+        [alpha_e, jnp.zeros((1, h_dim), alpha_e.dtype)])
+    dv_n = jnp.stack(
+        [_scatter_grouped(gather(dy[:, h, :], aux_rev.senders_grp), aux_rev,
+                          n_src_pad,
+                          w_grp=gather(alpha_ext[:, h], aux_rev.edge_perm),
+                          interpret=_use_interpret())
+         for h in range(h_dim)], axis=1)                  # [N_src, H, D]
+
+    dy_e = gather(dy, receivers)                          # [E, H, D]
+    v_e = gather(values_n, senders)                       # [E, H, D]
+    s_n = jnp.sum(out * dy, -1)                           # [N, H]
+    dlg = alpha_e * (jnp.sum(v_e * dy_e, -1)
+                     - gather(s_n, receivers))            # [E, H]
+    draw = dlg * dsig
+    dpi = segment_sum(draw, receivers, n_pad, mask=edge_mask, sorted=True)
+    # senders are unsorted; still a segment sum (widened scatter-add)
+    dpj = segment_sum(draw, senders, pj.shape[0], mask=edge_mask)
+    if self_logits is not None:
+        alpha_self = jnp.exp(self_logits - mx) / den      # [N, H]
+        dsl = (alpha_self * jnp.sum(self_values * dy, -1)
+               - alpha_self * s_n)
+        dsv = alpha_self[..., None] * dy
+    else:
+        dsl = dsv = None
+    return dpi, dpj, dv_n, None, None, dsl, dsv
+
+
+gat_attention_nodes.defvjp(_gat_fwd, _gat_bwd)
+
+
+# ---------------------------------------------------------------------------
+# node-level values variant: the GAT-family fast path
+# ---------------------------------------------------------------------------
+#
+# Attention layers' values are node-level (W x_j); materializing them per
+# edge ([E, H, D]) just to regather inside the kernel doubles the dominant
+# HBM traffic. Here the sender-gather is fused INTO the scatter-matmul via
+# ``aux.senders_grp`` (exactly like the SpMM kernel), so the forward streams
+# [N, H, D] once instead of materializing + regathering [E, H, D], and the
+# value-gradient comes back node-level through one scatter-matmul over the
+# reverse grouping (no edge-level dv intermediate).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def edge_softmax_aggregate_nodes(logits, values_n, auxes, ids, static_args,
+                                 self_logits=None, self_values=None,
+                                 dropout_masks=None):
+    """Fused softmax-over-in-edges + aggregation of NODE-level values.
+
+    Args:
+      logits: [E_pad, H] attention logits.
+      values_n: [N_src_pad, H, D] sender-side node values (edge e
+        contributes ``values_n[sender_e]``).
+      auxes: (aux_fwd, aux_rev) SpmmAux pair (the graph's ``spmm_aux``).
+      ids: (receivers, senders, edge_mask) int/bool edge indexing.
+      static_args: (n_dst_pad, n_src_pad).
+      self_logits/self_values/dropout_masks: as
+        :func:`edge_softmax_aggregate`.
+
+    Returns [N_dst_pad, H, D].
+    """
+    out, _, _ = _fused_nodes_forward(logits, values_n, auxes, ids,
+                                     static_args, self_logits, self_values,
+                                     dropout_masks)
+    return out
+
+
+def _fused_nodes_forward(logits, values_n, auxes, ids, static_args,
+                         self_logits, self_values, dropout_masks):
+    aux, _ = auxes
+    receivers, senders, edge_mask = ids
+    mask_e = mask_self = None
+    if dropout_masks is not None:
+        mask_e, mask_self = dropout_masks
+    n_pad = static_args[0]
+    h_dim = logits.shape[1]
+    neg = jnp.asarray(-jnp.inf, logits.dtype)
+
+    lg = jnp.where(edge_mask[:, None], logits, neg)
+    lg_ext = jnp.concatenate([lg, jnp.full((1, h_dim), neg, lg.dtype)])
+    if mask_e is not None:
+        msk_ext = jnp.concatenate(
+            [mask_e, jnp.zeros((1, h_dim), mask_e.dtype)])
+    ys, ms, ss = [], [], []
+    for h in range(h_dim):
+        lg_grp = gather(lg_ext[:, h], aux.edge_perm)      # [blk, BE]
+        msk_grp = (gather(msk_ext[:, h], aux.edge_perm)
+                   if mask_e is not None else jnp.ones_like(lg_grp))
+        v_grp = gather(values_n[:, h, :], aux.senders_grp)  # [blk, BE, D]
+        y, m, s = _flash_grouped(v_grp, lg_grp, msk_grp, aux, n_pad)
+        ys.append(y)
+        ms.append(m)
+        ss.append(s)
+    num = jnp.stack(ys, axis=1)                           # [N, H, D]
+    m = jnp.stack(ms, axis=1)                             # [N, H]
+    den = jnp.stack(ss, axis=1)                           # [N, H]
+    return _finalize_softmax(num, m, den, self_logits, self_values,
+                             mask_self)
+
+
+def _finalize_softmax(num, m, den, self_logits, self_values, mask_self):
+    """Fold virtual self-loop terms into the flash outputs and normalize.
+
+    The kernel's running max ``m`` never saw the self logits, so the
+    accumulators are rescaled by ``exp(m - max(m, self_logits))`` first —
+    overflow-safe for any self-logit magnitude.
+    """
+    if self_logits is not None:
+        m_tot = jnp.maximum(m, self_logits)
+        c = jnp.where(jnp.isneginf(m), 0.0, jnp.exp(m - m_tot))
+        ex_self = jnp.exp(self_logits - m_tot)
+        den = den * c + ex_self
+        sv = (self_values if mask_self is None
+              else self_values * mask_self[..., None])
+        num = num * c[..., None] + ex_self[..., None] * sv
+        mx = m_tot
+    else:
+        mx = m
+    mx = jnp.where(jnp.isneginf(mx), 0.0, mx)
+    den = jnp.maximum(den, jnp.finfo(num.dtype).tiny)
+    return num / den[..., None], mx, den
+
+
+def _fused_nodes_fwd(logits, values_n, auxes, ids, static_args, self_logits,
+                     self_values, dropout_masks=None):
+    out, mx, den = _fused_nodes_forward(logits, values_n, auxes, ids,
+                                        static_args, self_logits,
+                                        self_values, dropout_masks)
+    res = (logits, values_n, auxes, ids, self_logits, self_values, out, mx,
+           den, dropout_masks)
+    return out, res
+
+
+def _fused_nodes_bwd(static_args, res, dy):
+    (logits, values_n, auxes, ids, self_logits, self_values, out, mx, den,
+     dropout_masks) = res
+    aux, aux_rev = auxes
+    receivers, senders, edge_mask = ids
+    n_src_pad = static_args[1]
+    mask_e = mask_self = None
+    if dropout_masks is not None:
+        mask_e, mask_self = dropout_masks
+    h_dim = logits.shape[1]
+    alpha_e = jnp.where(
+        edge_mask[:, None],
+        jnp.exp(jnp.where(edge_mask[:, None], logits, -jnp.inf)
+                - gather(mx, receivers)) / gather(den, receivers),
+        0.0)                                              # [E, H]
+    m_alpha_e = alpha_e if mask_e is None else alpha_e * mask_e
+
+    # node-level value gradient: dv_n[j] = Σ_{e: s_e=j} mα_e dy[r_e] — a
+    # weighted scatter-matmul over the REVERSE grouping (whose senders_grp
+    # stores the original receiver per slot).
+    m_alpha_ext = jnp.concatenate(
+        [m_alpha_e, jnp.zeros((1, h_dim), m_alpha_e.dtype)])
+    dv_n = jnp.stack(
+        [_scatter_grouped(gather(dy[:, h, :], aux_rev.senders_grp), aux_rev,
+                          n_src_pad,
+                          w_grp=gather(m_alpha_ext[:, h], aux_rev.edge_perm),
+                          interpret=_use_interpret())
+         for h in range(h_dim)], axis=1)                  # [N_src, H, D]
+
+    dy_e = gather(dy, receivers)                          # [E, H, D]
+    v_e = gather(values_n, senders)                       # [E, H, D]
+    s_n = jnp.sum(out * dy, -1)                           # [N, H]
+    dl = (m_alpha_e * jnp.sum(v_e * dy_e, -1)
+          - alpha_e * gather(s_n, receivers))
+    if self_logits is not None:
+        alpha_self = jnp.exp(self_logits - mx) / den      # [N, H]
+        m_alpha_self = (alpha_self if mask_self is None
+                        else alpha_self * mask_self)
+        dsl = (m_alpha_self * jnp.sum(self_values * dy, -1)
+               - alpha_self * s_n)
+        dsv = m_alpha_self[..., None] * dy
+    else:
+        dsl = dsv = None
+    return dl, dv_n, None, None, dsl, dsv, None
+
+
+edge_softmax_aggregate_nodes.defvjp(_fused_nodes_fwd, _fused_nodes_bwd)

@@ -50,9 +50,10 @@ def _fg_fwd(x, idx, aux, n_pad):
 def _fg_bwd(n_pad, aux: SpmmAux, dy):
     # dy: [E_pad, D] edge-gradients in original edge order; dummy grouped
     # slots carry id E_pad -> the appended zero row.
+    from ..segment import gather as _gather
     zero = jnp.zeros((1,) + dy.shape[1:], dy.dtype)
     dy_ext = jnp.concatenate([dy, zero])
-    vals_grp = dy_ext[aux.edge_perm]                  # [n_eblk, BE, D]
+    vals_grp = _gather(dy_ext, aux.edge_perm)         # [n_eblk, BE, D]
     dx = _scatter_grouped(vals_grp, aux, n_pad,
                           interpret=_use_interpret())
     return dx, None, None

@@ -225,8 +225,9 @@ def spmm_gather_scatter(x, w, auxes, n_pads):
 
 
 def _spmm_impl(x, w, aux: SpmmAux, n_dst_pad: int):
-    vals = x[aux.senders_grp]                      # [n_eblk, BE, D]
-    w_grp = None if w is None else w[aux.edge_perm]
+    from ..segment import gather
+    vals = gather(x, aux.senders_grp)              # [n_eblk, BE, D]
+    w_grp = None if w is None else gather(w, aux.edge_perm)
     return _scatter_grouped(vals, aux, n_dst_pad, w_grp=w_grp,
                             interpret=_use_interpret())
 
@@ -249,9 +250,12 @@ def _spmm_bwd(n_pads, res, dy):
         dyg = dy[recv_rows]
         contrib = jnp.sum(xg * dyg, -1)
         contrib = jnp.where(aux_fwd.recv_local >= 0, contrib, 0.0)
-        dw = jnp.zeros(w.shape, w.dtype).at[
-            aux_fwd.edge_perm.reshape(-1)].add(
-            contrib.reshape(-1).astype(w.dtype), mode="drop")
+        # width-1 scatter-add: widen to 2 lanes (same pathology as
+        # width-1 gathers; see ops/segment.py:gather)
+        c2 = jnp.broadcast_to(contrib.reshape(-1, 1).astype(w.dtype),
+                              (contrib.size, 2))
+        dw = jnp.zeros((w.shape[0], 2), w.dtype).at[
+            aux_fwd.edge_perm.reshape(-1)].add(c2, mode="drop")[:, 0]
         dw = dw.at[-1].set(0.0)
     return dx, dw, None
 

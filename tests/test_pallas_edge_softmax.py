@@ -150,3 +150,82 @@ def test_gat_dropout_training_mode():
     y_tr = layer(g, x, deterministic=False)
     assert np.isfinite(np.asarray(y_tr)).all()
     assert not np.allclose(np.asarray(y_det), np.asarray(y_tr))
+
+
+@pytest.mark.parametrize("with_self", [False, True])
+@pytest.mark.parametrize("heads", [1, 2])
+def test_node_values_fused_matches_xla(with_self, heads):
+    """Node-level values (GAT-family fast path): fused vs XLA, fwd+grads."""
+    g = _graph(n=60, e=240)
+    g_xla = g.replace(spmm_aux=None)
+    rng = np.random.default_rng(11)
+    d = 4
+    logits = jnp.asarray(rng.standard_normal((g.e_pad, heads)), jnp.float32)
+    vnodes = jnp.asarray(rng.standard_normal((g.n_pad, heads, d)),
+                         jnp.float32)
+    sl = (jnp.asarray(rng.standard_normal((g.n_pad, heads)), jnp.float32)
+          if with_self else None)
+    sv = (jnp.asarray(rng.standard_normal((g.n_pad, heads, d)), jnp.float32)
+          if with_self else None)
+    t = jnp.asarray(rng.standard_normal((g.n_pad, heads, d)), jnp.float32)
+
+    def loss(gg, lg, v, a, b):
+        out = attention_aggregate(gg, lg, v, self_logits=a, self_values=b,
+                                  node_values=True)
+        return jnp.sum(out * t)
+
+    out1 = attention_aggregate(g, logits, vnodes, self_logits=sl,
+                               self_values=sv, node_values=True)
+    out2 = attention_aggregate(g_xla, logits, vnodes, self_logits=sl,
+                               self_values=sv, node_values=True)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=2e-5, atol=2e-5)
+    g1 = jax.grad(lambda lg, v: loss(g, lg, v, sl, sv),
+                  argnums=(0, 1))(logits, vnodes)
+    g2 = jax.grad(lambda lg, v: loss(g_xla, lg, v, sl, sv),
+                  argnums=(0, 1))(logits, vnodes)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-5)
+    if with_self:
+        gs1 = jax.grad(lambda a, b: loss(g, logits, vnodes, a, b),
+                       argnums=(0, 1))(sl, sv)
+        gs2 = jax.grad(lambda a, b: loss(g_xla, logits, vnodes, a, b),
+                       argnums=(0, 1))(sl, sv)
+        for a, b in zip(gs1, gs2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
+
+def test_node_values_squeezed_and_dropout():
+    """1D-logit squeeze path + dropout masks on node-level values."""
+    g = _graph(n=40, e=160)
+    g_xla = g.replace(spmm_aux=None)
+    rng = np.random.default_rng(12)
+    d = 4
+    logits = jnp.asarray(rng.standard_normal((g.e_pad,)), jnp.float32)
+    vnodes = jnp.asarray(rng.standard_normal((g.n_pad, d)), jnp.float32)
+    out1 = attention_aggregate(g, logits, vnodes, node_values=True)
+    out2 = attention_aggregate(g_xla, logits, vnodes, node_values=True)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=2e-5, atol=2e-5)
+    # dropout masks, 2D logits
+    h = 2
+    lg = jnp.asarray(rng.standard_normal((g.e_pad, h)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((g.n_pad, h, d)), jnp.float32)
+    keep = jnp.asarray(rng.random((g.e_pad, h)) > 0.3, jnp.float32) / 0.7
+    t = jnp.asarray(rng.standard_normal((g.n_pad, h, d)), jnp.float32)
+
+    def loss(gg, a, b):
+        out = attention_aggregate(gg, a, b, dropout_masks=(keep, None),
+                                  node_values=True)
+        return jnp.sum(out * t)
+
+    np.testing.assert_allclose(
+        np.asarray(loss(g, lg, vn)), np.asarray(loss(g_xla, lg, vn)),
+        rtol=2e-5, atol=2e-5)
+    g1 = jax.grad(loss, argnums=(1, 2))(g, lg, vn)
+    g2 = jax.grad(loss, argnums=(1, 2))(g_xla, lg, vn)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-5)
