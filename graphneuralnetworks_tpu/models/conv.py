@@ -27,7 +27,7 @@ from flax import nnx
 from ..graph import GraphTuple
 from ..ops import (aggregate_neighbors, apply_edges, copy_xj, e_mul_xj,
                    propagate, w_mul_xj, xi_dot_xj, xi_sub_xj)
-from ..ops.attention import attention_aggregate
+from ..ops.attention import attention_aggregate, gat_attention
 from ..ops.segment import gather, segment_sum
 from ..query import degree, scaled_laplacian
 from .basic import GNNLayer, glorot_uniform
@@ -317,15 +317,6 @@ class GATConv(GNNLayer):
         a = self.a.value
         pi = jnp.einsum("nhf,fh->nh", Wxi, a[:O])         # [N_dst, H]
         pj = jnp.einsum("nhf,fh->nh", Wxj, a[O:2 * O])    # [N_src, H]
-        raw = gather(pi, g.receivers) + gather(pj, g.senders)
-        if e is not None:
-            if self.dense_e is None:
-                raise ValueError("edge features not configured")
-            We = self.dense_e(e).reshape(-1, H, O)
-            raw = raw + jnp.einsum("ehf,fh->eh", We, a[2 * O:])
-        elif self.dense_e is not None:
-            raise ValueError("edge features required")
-        logits = jax.nn.leaky_relu(raw, self.negative_slope)
         if self.add_self_loops:
             pj_self = (pi + pj if xi is xj
                        else pi + jnp.einsum("nhf,fh->nh", Wxi, a[O:2 * O]))
@@ -336,11 +327,26 @@ class GATConv(GNNLayer):
         masks = _attn_dropout_masks(self.attn_dropout, g, Wxi.shape[0],
                                     self.heads, deterministic,
                                     self.add_self_loops)
-        out = attention_aggregate(g, logits, Wxj, self_logits=self_logits,
-                                  self_values=self_values,
-                                  dropout_masks=masks,
-                                  num_segments=Wxi.shape[0],
-                                  node_values=True)
+        if e is None and self.dense_e is None:
+            # affine logits -> in-kernel path (zero edge-space logit arrays)
+            out = gat_attention(g, pi, pj, Wxj, self.negative_slope,
+                                self_logits=self_logits,
+                                self_values=self_values,
+                                dropout_masks=masks,
+                                num_segments=Wxi.shape[0])
+        else:
+            if e is None or self.dense_e is None:
+                raise ValueError("edge features required/not configured")
+            We = self.dense_e(e).reshape(-1, H, O)
+            raw = (gather(pi, g.receivers) + gather(pj, g.senders)
+                   + jnp.einsum("ehf,fh->eh", We, a[2 * O:]))
+            logits = jax.nn.leaky_relu(raw, self.negative_slope)
+            out = attention_aggregate(g, logits, Wxj,
+                                      self_logits=self_logits,
+                                      self_values=self_values,
+                                      dropout_masks=masks,
+                                      num_segments=Wxi.shape[0],
+                                      node_values=True)
         out = (out.reshape(-1, H * O) if self.concat else out.mean(axis=1))
         if self.bias is not None:
             out = out + self.bias.value

@@ -21,7 +21,48 @@ import jax.numpy as jnp
 from ..graph import GraphTuple
 from .segment import gather, segment_sum, segment_max
 
-__all__ = ["attention_aggregate"]
+__all__ = ["attention_aggregate", "gat_attention"]
+
+
+def gat_attention(g: GraphTuple, pi: jax.Array, pj: jax.Array,
+                  values: jax.Array, slope: float, *,
+                  self_logits: jax.Array | None = None,
+                  self_values: jax.Array | None = None,
+                  dropout_masks=None,
+                  num_segments: int | None = None) -> jax.Array:
+    """GAT-family attention with affine logits ``leaky_relu(pi[r]+pj[s])``.
+
+    On the fused path the logits are computed IN-kernel from node-level
+    projections (ops/pallas/edge_softmax.py:gat_attention_nodes): no
+    edge-space [E, H] logit array is ever materialized, and the value
+    sender-gather fuses into the scatter-matmul. Falls back to gathered
+    logits + :func:`attention_aggregate` when dropout masks are present
+    (the affine kernel has no mask input) or shapes don't fit.
+
+    Args:
+      pi/pj: [N_dst, H] / [N_src, H] receiver/sender logit projections.
+      values: [N_src, H, D] sender-side node values.
+      slope: leaky_relu negative slope (static).
+      self_logits/self_values/dropout_masks/num_segments: as
+        :func:`attention_aggregate`.
+    """
+    n = num_segments if num_segments is not None else g.n_pad
+    if (g.spmm_aux is not None and n == g.n_pad and dropout_masks is None
+            and pi.ndim == 2 and values.ndim == 3):
+        from .pallas.edge_softmax import gat_attention_nodes
+        from .pallas.spmm import BD
+        if values.shape[-1] <= BD:
+            return gat_attention_nodes(
+                pi, pj, values, g.spmm_aux,
+                (g.receivers, g.senders, g.edge_mask),
+                (n, values.shape[0], float(slope)),
+                self_logits, self_values)
+    logits = jax.nn.leaky_relu(
+        gather(pi, g.receivers) + gather(pj, g.senders), slope)
+    return attention_aggregate(g, logits, values, self_logits=self_logits,
+                               self_values=self_values,
+                               dropout_masks=dropout_masks,
+                               num_segments=num_segments, node_values=True)
 
 
 def attention_aggregate(g: GraphTuple, logits: jax.Array, values: jax.Array,

@@ -229,3 +229,74 @@ def test_node_values_squeezed_and_dropout():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
                                    atol=2e-5)
+
+
+@pytest.mark.parametrize("with_self", [False, True])
+@pytest.mark.parametrize("heads", [1, 2])
+def test_gat_affine_kernel_matches_xla(with_self, heads):
+    """In-kernel affine logits (gat_attention) vs gathered-logit XLA path."""
+    from graphneuralnetworks_tpu.ops.attention import gat_attention
+    g = _graph(n=60, e=240, seed=5)
+    g_xla = g.replace(spmm_aux=None)
+    rng = np.random.default_rng(13)
+    d, slope = 4, 0.2
+    pi = jnp.asarray(rng.standard_normal((g.n_pad, heads)), jnp.float32)
+    pj = jnp.asarray(rng.standard_normal((g.n_pad, heads)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((g.n_pad, heads, d)), jnp.float32)
+    sl = (jnp.asarray(rng.standard_normal((g.n_pad, heads)), jnp.float32)
+          if with_self else None)
+    sv = (jnp.asarray(rng.standard_normal((g.n_pad, heads, d)), jnp.float32)
+          if with_self else None)
+    t = jnp.asarray(rng.standard_normal((g.n_pad, heads, d)), jnp.float32)
+
+    def loss(gg, a, b, v, c, e):
+        out = gat_attention(gg, a, b, v, slope, self_logits=c,
+                            self_values=e)
+        return jnp.sum(out * t)
+
+    out1 = gat_attention(g, pi, pj, vn, slope, self_logits=sl,
+                         self_values=sv)
+    out2 = gat_attention(g_xla, pi, pj, vn, slope, self_logits=sl,
+                         self_values=sv)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=2e-5, atol=2e-5)
+    args = (pi, pj, vn) + ((sl, sv) if with_self else ())
+    idx = tuple(range(1, 4 + (2 if with_self else 0)))
+
+    def wrap(gg):
+        if with_self:
+            return lambda a, b, v, c, e: loss(gg, a, b, v, c, e)
+        return lambda a, b, v: loss(gg, a, b, v, None, None)
+
+    g1 = jax.grad(wrap(g), argnums=tuple(range(len(args))))(*args)
+    g2 = jax.grad(wrap(g_xla), argnums=tuple(range(len(args))))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-5)
+
+
+def test_gatconv_fused_vs_xla_layer_level():
+    """GATConv end-to-end: fused affine kernel vs spmm_aux-less XLA path."""
+    from flax import nnx
+    from graphneuralnetworks_tpu import models as M
+    g = _graph(n=50, e=200, seed=7)
+    g_xla = g.replace(spmm_aux=None)
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(rng.standard_normal((g.n_pad, 6)), jnp.float32)
+    layer = M.GATConv(6, 5, heads=3, rngs=nnx.Rngs(0))
+    y1, y2 = layer(g, x), layer(g_xla, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=2e-5,
+                               atol=2e-5)
+
+    gd = nnx.graphdef(layer)
+
+    def loss(state, gg):
+        m = nnx.merge(gd, state)
+        return jnp.sum(m(gg, x) ** 2)
+
+    s = nnx.state(layer)
+    g1 = jax.grad(loss)(s, g)
+    g2 = jax.grad(loss)(s, g_xla)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-5)
