@@ -69,25 +69,21 @@ def run_phase(phase: str) -> float:
                 return x * 0.999 + jnp.mean(ee) * 1e-6
             return jax.lax.fori_loop(0, iters, body, x)
     elif phase == "attention":
-        # the GAT hot path: node-level logit projections gathered per edge
-        # (narrow, cheap) + the single-pass flash softmax-aggregate kernel
-        # with node-level values (ops/pallas/edge_softmax.py).
-        from graphneuralnetworks_tpu.ops.attention import attention_aggregate
-        a1 = jnp.asarray(np.random.default_rng(2).standard_normal((d,)),
+        # the GAT hot path: affine logits computed IN-kernel from node-level
+        # projections + single-pass flash softmax-aggregate of node-level
+        # values (ops/pallas/edge_softmax.py:gat_attention_nodes) — zero
+        # edge-space intermediates in the whole attention stack.
+        from graphneuralnetworks_tpu.ops.attention import gat_attention
+        a1 = jnp.asarray(np.random.default_rng(2).standard_normal((d, 1)),
                          jnp.float32)
-        a2 = jnp.asarray(np.random.default_rng(3).standard_normal((d,)),
+        a2 = jnp.asarray(np.random.default_rng(3).standard_normal((d, 1)),
                          jnp.float32)
 
         @jax.jit
         def run(g, x):
             def body(i, x):
-                # ops.gather widens scalar-per-row gathers to the vectorized
-                # DMA path (width-1 gathers are pathological on TPU)
-                pi, pj = x @ a1, x @ a2                       # [N] each
-                lg = jax.nn.leaky_relu(
-                    ops.gather(pi, g.receivers) + ops.gather(pj, g.senders),
-                    0.2)
-                out = attention_aggregate(g, lg, x, node_values=True)
+                pi, pj = x @ a1, x @ a2                       # [N, 1] each
+                out = gat_attention(g, pi, pj, x[:, None, :], 0.2)[:, 0, :]
                 return x * 0.9 + out * 0.01
             return jax.lax.fori_loop(0, iters, body, x)
     else:

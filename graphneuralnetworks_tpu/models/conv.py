@@ -27,7 +27,8 @@ from flax import nnx
 from ..graph import GraphTuple
 from ..ops import (aggregate_neighbors, apply_edges, copy_xj, e_mul_xj,
                    propagate, w_mul_xj, xi_dot_xj, xi_sub_xj)
-from ..ops.attention import attention_aggregate, gat_attention
+from ..ops.attention import (attention_aggregate, dot_attention,
+                             gat_attention)
 from ..ops.segment import gather, segment_sum
 from ..query import degree, scaled_laplacian
 from .basic import GNNLayer, glorot_uniform
@@ -446,16 +447,15 @@ class AGNNConv(GNNLayer):
         beta = self.beta.value if isinstance(self.beta, nnx.Param) else self.beta
         norm = jnp.sqrt(jnp.maximum(jnp.sum(x * x, -1, keepdims=True), 1e-24))
         xn = x / norm
-        cos = apply_edges(xi_dot_xj, g, xi=xn, xj=xn)[..., 0]      # [E]
-        logits = beta[0] * cos
         if self.add_self_loops:
-            self_logits = beta[0] * jnp.sum(xn * xn, -1)           # [N]
-            self_values = x
+            self_logits = (beta[0] * jnp.sum(xn * xn, -1))[:, None]  # [N, 1]
+            self_values = x[:, None, :]
         else:
             self_logits = self_values = None
-        return attention_aggregate(g, logits, x, self_logits=self_logits,
-                                   self_values=self_values,
-                                   node_values=True)
+        # β folds into the query so the cosine logits compute in-kernel
+        return dot_attention(g, (beta[0] * xn)[:, None, :], xn[:, None, :],
+                             x[:, None, :], 1.0, self_logits=self_logits,
+                             self_values=self_values)[:, 0, :]
 
 
 class TransformerConv(GNNLayer):
@@ -506,28 +506,33 @@ class TransformerConv(GNNLayer):
         W2x = self.W2(x).reshape(-1, H, O)
         W3x = self.W3(x).reshape(-1, H, O)
         W4x = self.W4(x).reshape(-1, H, O)
-        W3x_e = gather(W3x, g.receivers)
-        key = gather(W4x, g.senders)
         # values stay node-level (W2x) unless edge features shift them
         # per-edge; node-level values fuse the sender-gather into the
-        # aggregation kernel.
+        # aggregation kernel, and edge-feature-free logits ride the SDDMM
+        # kernel (receiver side never gathered).
         if e is not None:
             if self.W6 is None:
                 raise ValueError("edge features not configured")
             W6e = self.W6(e).reshape(-1, H, O)
-            key = key + W6e
+            key = gather(W4x, g.senders) + W6e
             val, node_vals = gather(W2x, g.senders) + W6e, False
+            logits = (jnp.sum(gather(W3x, g.receivers) * key, -1)
+                      / self.sqrt_out)                        # [E, H]
         else:
-            val, node_vals = W2x, True
-        logits = jnp.sum(W3x_e * key, -1) / self.sqrt_out     # [E, H]
+            val, node_vals, logits = W2x, True, None
         if self.add_self_loops:
             self_logits = jnp.sum(W3x * W4x, -1) / self.sqrt_out
             self_values = W2x
         else:
             self_logits = self_values = None
-        h = attention_aggregate(g, logits, val, self_logits=self_logits,
-                                self_values=self_values,
-                                node_values=node_vals)
+        if logits is None:
+            h = dot_attention(g, W3x, W4x, val, 1.0 / self.sqrt_out,
+                              self_logits=self_logits,
+                              self_values=self_values)
+        else:
+            h = attention_aggregate(g, logits, val, self_logits=self_logits,
+                                    self_values=self_values,
+                                    node_values=node_vals)
         h = h.reshape(-1, H * O) if self.concat else h.mean(axis=1)
         if W1x is not None:
             if self.W5 is not None:

@@ -21,7 +21,64 @@ import jax.numpy as jnp
 from ..graph import GraphTuple
 from .segment import gather, segment_sum, segment_max
 
-__all__ = ["attention_aggregate", "gat_attention"]
+__all__ = ["attention_aggregate", "gat_attention", "dot_attention",
+           "dot_attention_logits"]
+
+
+def dot_attention(g: GraphTuple, q: jax.Array, k: jax.Array,
+                  values: jax.Array, scale: float = 1.0, *,
+                  self_logits: jax.Array | None = None,
+                  self_values: jax.Array | None = None,
+                  num_segments: int | None = None) -> jax.Array:
+    """Attention with logits ``scale * <q[r_e], k[s_e]>`` (transformer/AGNN).
+
+    On the fused path the logits are computed IN-kernel
+    (ops/pallas/edge_softmax.py:dot_attention_nodes): no edge-space array is
+    ever materialized, and K/V ride one fused grouped gather. Falls back to
+    SDDMM logits + :func:`attention_aggregate` otherwise.
+
+    Args:
+      q/k: [N_dst, H, O] / [N_src, H, O] projections.
+      values: [N_src, H, D] sender-side node values.
+      scale: static logit scale (e.g. 1/sqrt(O)).
+      self_logits: optional [N, H] virtual self-loop logits, ALREADY scaled.
+    """
+    n = num_segments if num_segments is not None else g.n_pad
+    if (g.spmm_aux is not None and n == g.n_pad and q.ndim == 3
+            and values.ndim == 3 and q.shape[0] == g.n_pad):
+        from .pallas.edge_softmax import dot_attention_nodes
+        from .pallas.spmm import BD
+        if q.shape[-1] <= BD and values.shape[-1] <= BD:
+            return dot_attention_nodes(
+                q, k, values, g.spmm_aux,
+                (g.receivers, g.senders, g.edge_mask),
+                (n, values.shape[0], float(scale)),
+                self_logits, self_values)
+    logits = dot_attention_logits(g, q, k) * scale
+    return attention_aggregate(g, logits, values, self_logits=self_logits,
+                               self_values=self_values,
+                               num_segments=num_segments, node_values=True)
+
+
+def dot_attention_logits(g: GraphTuple, qi: jax.Array,
+                         kj: jax.Array) -> jax.Array:
+    """Per-edge per-head endpoint dots ``<qi[r_e], kj[s_e]>`` -> [E, H].
+
+    Dispatches to the grouped SDDMM kernel (ops/pallas/sddmm.py) per head —
+    receiver rows ride the output block so only the sender side pays a
+    gather; falls back to two gathers + reduce otherwise. ``qi``/``kj``:
+    [N, H, O] (or [N, O] for a single implicit head -> returns [E]).
+    """
+    if (g.spmm_aux is not None and qi.shape[0] == g.n_pad
+            and kj.shape[0] == g.n_pad):
+        from .pallas.sddmm import sddmm
+        if qi.ndim == 2:
+            return sddmm(qi, kj, g.spmm_aux, (g.e_pad,))
+        if qi.ndim == 3:
+            return jnp.stack(
+                [sddmm(qi[:, h, :], kj[:, h, :], g.spmm_aux, (g.e_pad,))
+                 for h in range(qi.shape[1])], axis=1)
+    return jnp.sum(gather(qi, g.receivers) * gather(kj, g.senders), -1)
 
 
 def gat_attention(g: GraphTuple, pi: jax.Array, pj: jax.Array,

@@ -36,7 +36,8 @@ from ..segment import gather
 from .spmm import BN, SpmmAux, _scatter_grouped, _use_interpret
 
 __all__ = ["segment_max_grouped", "edge_softmax_aggregate",
-           "edge_softmax_aggregate_nodes"]
+           "edge_softmax_aggregate_nodes", "gat_attention_nodes",
+           "dot_attention_nodes"]
 
 
 def _segmax_kernel(block_rows_ref, recv_ref, lg_ref, out_ref):
@@ -225,11 +226,12 @@ def _flash_reset(y_ref, m_ref, s_ref, is_first):
         s_ref[:] = jnp.zeros_like(s_ref)
 
 
-def _flash_update(hit, lg, msk, v_ref, y_ref, m_ref, s_ref):
+def _flash_update(hit, lg, msk, v, y_ref, m_ref, s_ref):
     """Online-softmax accumulator update for one edge block.
 
     hit: [BN, BE] one-hot receiver mask; lg: [1, BE] logits (-inf at dummy
-    slots); msk: [1, BE] or None numerator-only scaling (attention dropout).
+    slots); msk: [1, BE] or None numerator-only scaling (attention dropout);
+    v: [BE, D] value rows for this block.
     """
     neg = jnp.asarray(-jnp.inf, lg.dtype)
     lg_hit = jnp.where(hit, lg, neg)                      # [BN, BE]
@@ -246,9 +248,9 @@ def _flash_update(hit, lg, msk, v_ref, y_ref, m_ref, s_ref):
     m_ref[:, 0] = m_new
     # numerator: attention-dropout mask scales values but not the denominator
     pw = p if msk is None else p * msk
-    one_hot_w = jnp.where(hit, pw, 0.0).astype(v_ref.dtype)
+    one_hot_w = jnp.where(hit, pw, 0.0).astype(v.dtype)
     y_ref[:] = y_ref[:] * scale[:, None].astype(y_ref.dtype) + jax.lax.dot(
-        one_hot_w, v_ref[:], preferred_element_type=jnp.float32
+        one_hot_w, v, preferred_element_type=jnp.float32
     ).astype(y_ref.dtype)
 
 
@@ -262,8 +264,8 @@ def _flash_kernel(block_rows_ref, recv_ref, lg_ref, msk_ref, v_ref,
     recv = recv_ref[0]                                    # [1, BE]
     rows = jax.lax.broadcasted_iota(jnp.int32,
                                     (y_ref.shape[0], recv.shape[1]), 0)
-    _flash_update(rows == recv, lg_ref[0], msk_ref[0], v_ref, y_ref, m_ref,
-                  s_ref)
+    _flash_update(rows == recv, lg_ref[0], msk_ref[0], v_ref[:], y_ref,
+                  m_ref, s_ref)
 
 
 def _flash_affine_kernel(block_rows_ref, recv_ref, pj_ref, pi_ref, v_ref,
@@ -291,7 +293,95 @@ def _flash_affine_kernel(block_rows_ref, recv_ref, pj_ref, pi_ref, v_ref,
     # leaky_relu; dummies guarded against slope * -inf = nan when slope == 0
     lg = jnp.where(raw == neg, neg,
                    jnp.where(raw >= 0, raw, slope * raw))
-    _flash_update(hit, lg, None, v_ref, y_ref, m_ref, s_ref)
+    _flash_update(hit, lg, None, v_ref[:], y_ref, m_ref, s_ref)
+
+
+def _flash_dot_kernel(block_rows_ref, recv_ref, q_ref, kv_ref,
+                      y_ref, m_ref, s_ref, *, scale: float, bo: int):
+    """Flash update with DOT-PRODUCT logits computed IN-kernel.
+
+    ``lg = scale * <q[recv], k[sender]>`` — q arrives as the output row
+    block (no gather at all; distributed to edge slots by a one-hot MXU
+    matmul), k and v ride ONE fused grouped gather (kv_ref = [K | V] along
+    lanes, split at ``bo``; the sender gather is transaction-count-bound on
+    TPU, so one wide gather beats two). No edge-space logit array ever
+    exists. The transformer/AGNN analog of :func:`_flash_affine_kernel`.
+    """
+    kidx = pl.program_id(1)
+    b = block_rows_ref[kidx]
+    prev = block_rows_ref[jnp.maximum(kidx - 1, 0)]
+    _flash_reset(y_ref, m_ref, s_ref,
+                 jnp.logical_or(kidx == 0, b != prev))
+    neg = jnp.asarray(-jnp.inf, q_ref.dtype)
+    recv = recv_ref[0]                                    # [1, BE]
+    rows = jax.lax.broadcasted_iota(jnp.int32,
+                                    (y_ref.shape[0], recv.shape[1]), 0)
+    hit = rows == recv                                    # [BN, BE]
+    kg = kv_ref[:, :bo]                                   # [BE, bo]
+    v = kv_ref[:, bo:]                                    # [BE, bd]
+    # q per slot: one-hot^T @ Q on the MXU; dead slots (recv==-1) get 0
+    cols = jax.lax.broadcasted_iota(jnp.int32,
+                                    (recv.shape[1], y_ref.shape[0]), 1)
+    oh_t = (cols == recv[0][:, None]).astype(q_ref.dtype)  # [BE, BN]
+    q_slot = jax.lax.dot(oh_t, q_ref[:],
+                         preferred_element_type=jnp.float32)
+    lg = (jnp.sum(q_slot * kg.astype(jnp.float32), axis=1)
+          * scale)[None, :].astype(q_ref.dtype)           # [1, BE]
+    lg = jnp.where(recv >= 0, lg, neg)
+    _flash_update(hit, lg, None, v, y_ref, m_ref, s_ref)
+
+
+def _flash_dot_grouped(q_flat, kv_flat, aux: SpmmAux, n_pad: int,
+                       scale: float, h_dim: int, bo: int, bd: int,
+                       *, interpret: bool | None = None):
+    """Fused dot-logit flash pass over all heads (one grouped gather total).
+
+    q_flat: [n_nblk*BN, H*bo] receiver projections (row+lane padded);
+    kv_flat: [n_eblk*BE, H*(bo+bd)] grouped ``[K | V]`` slots per head.
+    Returns (Y [n_pad_rows, H*bd], m [rows, H], s [rows, H]) — caller
+    slices/reshapes.
+    """
+    if interpret is None:
+        interpret = _use_interpret()
+    n_eblk = aux.n_eblk
+    be = aux.senders_grp.shape[1]
+    n_nblk = -(-n_pad // BN)
+    if q_flat.shape[0] != n_nblk * BN:
+        q_flat = jnp.pad(q_flat,
+                         ((0, n_nblk * BN - q_flat.shape[0]), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(h_dim, n_eblk),
+        in_specs=[
+            pl.BlockSpec((1, 1, be), lambda j, k, br: (k, 0, 0)),
+            pl.BlockSpec((BN, bo), lambda j, k, br: (br[k], j)),
+            pl.BlockSpec((be, bo + bd), lambda j, k, br: (k, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((BN, bd), lambda j, k, br: (br[k], j)),
+            pl.BlockSpec((BN, 1), lambda j, k, br: (br[k], j)),
+            pl.BlockSpec((BN, 1), lambda j, k, br: (br[k], j)),
+        ],
+    )
+    y, m, s = pl.pallas_call(
+        functools.partial(_flash_dot_kernel, scale=scale, bo=bo),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_nblk * BN, h_dim * bd), kv_flat.dtype),
+            jax.ShapeDtypeStruct((n_nblk * BN, h_dim), q_flat.dtype),
+            jax.ShapeDtypeStruct((n_nblk * BN, h_dim), q_flat.dtype),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * h_dim * n_eblk * be * BN * (bd + bo),
+            bytes_accessed=h_dim * (n_eblk * be * (bd + bo)
+                                    + n_nblk * BN * (bd + bo))
+            * kv_flat.dtype.itemsize,
+            transcendentals=h_dim * n_eblk * be,
+        ),
+    )(aux.block_rows, aux.recv_local[:, None, :], q_flat, kv_flat)
+    return y[:n_pad], m[:n_pad], s[:n_pad]
 
 
 def _flash_grouped(values_grp: jax.Array, lg_grp: jax.Array,
@@ -506,6 +596,133 @@ def _gat_bwd(static_args, res, dy):
 
 
 gat_attention_nodes.defvjp(_gat_fwd, _gat_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused dot-product attention (transformer/AGNN-style logits in-kernel)
+# ---------------------------------------------------------------------------
+
+
+def _lane_pad(x, width):
+    if x.shape[-1] == width:
+        return x
+    return jnp.pad(x,
+                   ((0, 0),) * (x.ndim - 1) + ((0, width - x.shape[-1]),))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def dot_attention_nodes(q, k, values_n, auxes, ids, static_args,
+                        self_logits=None, self_values=None):
+    """Dot-product attention with logits ``scale * <q[r], k[s]>`` fully
+    in-kernel: ZERO edge-space arrays anywhere in the forward. K and V ride
+    ONE fused grouped gather across all heads (the sender gather is
+    transaction-count-bound, so fewer/wider gathers win). The UniMP
+    transformer / AGNN hot path.
+
+    Args:
+      q: [N_dst, H, O] receiver-side projections (queries).
+      k: [N_src, H, O] sender-side projections (keys).
+      values_n: [N_src, H, D] sender-side node values.
+      auxes: (aux_fwd, aux_rev); ids: (receivers, senders, edge_mask).
+      static_args: (n_dst_pad, n_src_pad, scale).
+      self_logits/self_values: optional virtual self-loop terms
+        ([N, H] / [N, H, D]; note self logits are NOT scaled here — pass
+        them pre-scaled).
+
+    Returns [N_dst_pad, H, D].
+    """
+    out, _, _ = _dot_forward(q, k, values_n, auxes, ids, static_args,
+                             self_logits, self_values)
+    return out
+
+
+def _dot_forward(q, k, values_n, auxes, ids, static_args, self_logits,
+                 self_values):
+    from .spmm import BD
+    aux, _ = auxes
+    n_pad, _, scale = static_args
+    _, h_dim, o = q.shape
+    d = values_n.shape[2]
+    bo = min(max(o, 128), BD)
+    bd = min(max(d, 128), BD)
+    if o > bo or d > bd:
+        raise ValueError("fused dot attention requires O, D <= BD")
+    # [K | V] fused per head, one grouped gather for everything sender-side
+    kv = jnp.concatenate([_lane_pad(k, bo), _lane_pad(values_n, bd)],
+                         axis=-1)                         # [N, H, bo+bd]
+    kv_flat = kv.reshape(kv.shape[0], h_dim * (bo + bd))
+    kv_grp = gather(kv_flat, aux.senders_grp)             # [blk, BE, ...]
+    q_flat = _lane_pad(q, bo).reshape(q.shape[0], h_dim * bo)
+    y, m, s = _flash_dot_grouped(
+        q_flat, kv_grp.reshape(-1, h_dim * (bo + bd)), aux, n_pad,
+        float(scale), h_dim, bo, bd)
+    num = y.reshape(-1, h_dim, bd)[:, :, :d]              # [N, H, D]
+    return _finalize_softmax(num, m, s, self_logits, self_values, None)
+
+
+def _dot_fwd(q, k, values_n, auxes, ids, static_args, self_logits,
+             self_values):
+    out, mx, den = _dot_forward(q, k, values_n, auxes, ids, static_args,
+                                self_logits, self_values)
+    res = (q, k, values_n, auxes, ids, self_logits, self_values, out, mx,
+           den)
+    return out, res
+
+
+def _dot_bwd(static_args, res, dy):
+    from ..segment import gather as _g
+    (q, k, values_n, auxes, ids, self_logits, self_values, out, mx,
+     den) = res
+    aux, aux_rev = auxes
+    receivers, senders, edge_mask = ids
+    n_pad, n_src_pad, scale = static_args
+    h_dim = q.shape[1]
+    lg = scale * jnp.sum(_g(q, receivers) * _g(k, senders), -1)   # [E, H]
+    alpha_e = jnp.where(
+        edge_mask[:, None],
+        jnp.exp(jnp.where(edge_mask[:, None], lg, -jnp.inf)
+                - _g(mx, receivers)) / _g(den, receivers),
+        0.0)                                              # [E, H]
+
+    alpha_ext = jnp.concatenate(
+        [alpha_e, jnp.zeros((1, h_dim), alpha_e.dtype)])
+    dv_n = jnp.stack(
+        [_scatter_grouped(_g(dy[:, h, :], aux_rev.senders_grp), aux_rev,
+                          n_src_pad,
+                          w_grp=_g(alpha_ext[:, h], aux_rev.edge_perm),
+                          interpret=_use_interpret())
+         for h in range(h_dim)], axis=1)                  # [N_src, H, D]
+
+    dy_e = _g(dy, receivers)                              # [E, H, D]
+    v_e = _g(values_n, senders)                           # [E, H, D]
+    s_n = jnp.sum(out * dy, -1)                           # [N, H]
+    dlg = alpha_e * (jnp.sum(v_e * dy_e, -1)
+                     - _g(s_n, receivers)) * scale        # [E, H]
+    dlg_ext = jnp.concatenate([dlg, jnp.zeros((1, h_dim), dlg.dtype)])
+    # dq[r] = Σ_e dlg_e k[s_e]   (forward grouping: by receiver)
+    dq = jnp.stack(
+        [_scatter_grouped(_g(k[:, h, :], aux.senders_grp), aux, n_pad,
+                          w_grp=_g(dlg_ext[:, h], aux.edge_perm),
+                          interpret=_use_interpret())
+         for h in range(h_dim)], axis=1)[:, :, :q.shape[2]]
+    # dk[s] = Σ_e dlg_e q[r_e]   (reverse grouping: by sender)
+    dk = jnp.stack(
+        [_scatter_grouped(_g(q[:, h, :], aux_rev.senders_grp), aux_rev,
+                          n_src_pad,
+                          w_grp=_g(dlg_ext[:, h], aux_rev.edge_perm),
+                          interpret=_use_interpret())
+         for h in range(h_dim)], axis=1)[:, :, :k.shape[2]]
+    if self_logits is not None:
+        alpha_self = jnp.exp(self_logits - mx) / den      # [N, H]
+        dsl = (alpha_self * jnp.sum(self_values * dy, -1)
+               - alpha_self * s_n)
+        dsv = alpha_self[..., None] * dy
+    else:
+        dsl = dsv = None
+    return dq, dk, dv_n, None, None, dsl, dsv
+
+
+dot_attention_nodes.defvjp(_dot_fwd, _dot_bwd)
 
 
 # ---------------------------------------------------------------------------

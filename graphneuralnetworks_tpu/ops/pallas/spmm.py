@@ -60,12 +60,17 @@ class SpmmAux:
         dummy/padding slots (never matches the one-hot iota).
       edge_perm: int32[n_eblk, BE] — original edge index per slot (E_pad for
         dummies) for gathering per-edge weight/message arrays.
+      edge_slot: int32[E_pad] — inverse of edge_perm: flat grouped-slot index
+        per original edge (n_eblk*BE, i.e. one-past-the-end, for padded
+        edges). Lets edge-order results come back from grouped kernels via a
+        GATHER instead of a pathological scatter.
     """
 
     block_rows: jax.Array
     senders_grp: jax.Array
     recv_local: jax.Array
     edge_perm: jax.Array
+    edge_slot: jax.Array
 
     @property
     def n_eblk(self) -> int:
@@ -105,6 +110,7 @@ def build_spmm_aux(receivers, senders, num_edges: int, n_pad: int,
     senders_flat = np.zeros(total, np.int32)
     recv_flat = np.full(total, -1, np.int32)
     perm_flat = np.full(total, e_pad, np.int32)
+    slot_of_edge = np.full(e_pad, total, np.int32)
     if num_edges:
         # edges are sorted by receiver (hence by node block), so the
         # per-edge block offset is a repeat over blocks — no per-edge
@@ -116,6 +122,7 @@ def build_spmm_aux(receivers, senders, num_edges: int, n_pad: int,
         senders_flat[dest] = s
         recv_flat[dest] = r % bn
         perm_flat[dest] = ids
+        slot_of_edge[ids] = dest
     rows = np.repeat(np.arange(n_nblk, dtype=np.int32), nb)
 
     return SpmmAux(
@@ -123,6 +130,7 @@ def build_spmm_aux(receivers, senders, num_edges: int, n_pad: int,
         senders_grp=jnp.asarray(senders_flat.reshape(-1, be)),
         recv_local=jnp.asarray(recv_flat.reshape(-1, be)),
         edge_perm=jnp.asarray(perm_flat.reshape(-1, be)),
+        edge_slot=jnp.asarray(slot_of_edge),
     )
 
 

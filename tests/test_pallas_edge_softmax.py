@@ -300,3 +300,69 @@ def test_gatconv_fused_vs_xla_layer_level():
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
                                    atol=2e-5)
+
+
+@pytest.mark.parametrize("with_self", [False, True])
+@pytest.mark.parametrize("heads", [1, 2])
+def test_dot_attention_kernel_matches_xla(with_self, heads):
+    """In-kernel dot-product logits (dot_attention) vs XLA path, fwd+grads."""
+    from graphneuralnetworks_tpu.ops.attention import dot_attention
+    g = _graph(n=60, e=240, seed=9)
+    g_xla = g.replace(spmm_aux=None)
+    rng = np.random.default_rng(15)
+    o, d, scale = 6, 4, 0.37
+    q = jnp.asarray(rng.standard_normal((g.n_pad, heads, o)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((g.n_pad, heads, o)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((g.n_pad, heads, d)), jnp.float32)
+    sl = (jnp.asarray(rng.standard_normal((g.n_pad, heads)), jnp.float32)
+          if with_self else None)
+    sv = (jnp.asarray(rng.standard_normal((g.n_pad, heads, d)), jnp.float32)
+          if with_self else None)
+    t = jnp.asarray(rng.standard_normal((g.n_pad, heads, d)), jnp.float32)
+
+    def loss(gg, *args):
+        out = dot_attention(gg, args[0], args[1], args[2], scale,
+                            self_logits=args[3] if with_self else None,
+                            self_values=args[4] if with_self else None)
+        return jnp.sum(out * t)
+
+    args = (q, k, v) + ((sl, sv) if with_self else ())
+    out1 = dot_attention(g, q, k, v, scale, self_logits=sl, self_values=sv)
+    out2 = dot_attention(g_xla, q, k, v, scale, self_logits=sl,
+                         self_values=sv)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=2e-5, atol=2e-5)
+    idx = tuple(range(len(args)))
+    g1 = jax.grad(lambda *a: loss(g, *a), argnums=idx)(*args)
+    g2 = jax.grad(lambda *a: loss(g_xla, *a), argnums=idx)(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-5)
+
+
+def test_transformer_agnn_fused_vs_xla_layer_level():
+    """TransformerConv + AGNNConv end-to-end: fused dot kernel vs XLA."""
+    from flax import nnx
+    from graphneuralnetworks_tpu import models as M
+    g = _graph(n=50, e=200, seed=8)
+    g_xla = g.replace(spmm_aux=None)
+    rng = np.random.default_rng(16)
+    x = jnp.asarray(rng.standard_normal((g.n_pad, 6)), jnp.float32)
+    for layer in (M.TransformerConv(6, 5, heads=2, add_self_loops=True,
+                                    rngs=nnx.Rngs(0)),
+                  M.AGNNConv(rngs=nnx.Rngs(1))):
+        y1, y2 = layer(g, x), layer(g_xla, x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   rtol=2e-5, atol=2e-5)
+        gd = nnx.graphdef(layer)
+
+        def loss(state, gg):
+            m = nnx.merge(gd, state)
+            return jnp.sum(m(gg, x) ** 2)
+
+        s = nnx.state(layer)
+        g1 = jax.grad(loss)(s, g)
+        g2 = jax.grad(loss)(s, g_xla)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=3e-5)
