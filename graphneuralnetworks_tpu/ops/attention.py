@@ -52,7 +52,7 @@ def dot_attention(g: GraphTuple, q: jax.Array, k: jax.Array,
             return dot_attention_nodes(
                 q, k, values, g.spmm_aux,
                 (g.receivers, g.senders, g.edge_mask),
-                (n, values.shape[0], float(scale)),
+                (n, values.shape[0], float(scale), None),
                 self_logits, self_values)
     logits = dot_attention_logits(g, q, k) * scale
     return attention_aggregate(g, logits, values, self_logits=self_logits,
@@ -105,14 +105,20 @@ def gat_attention(g: GraphTuple, pi: jax.Array, pj: jax.Array,
     """
     n = num_segments if num_segments is not None else g.n_pad
     if (g.spmm_aux is not None and n == g.n_pad and dropout_masks is None
-            and pi.ndim == 2 and values.ndim == 3):
-        from .pallas.edge_softmax import gat_attention_nodes
+            and pi.ndim == 2 and values.ndim == 3
+            and values.shape[0] == g.n_pad):
+        from .pallas.edge_softmax import dot_attention_nodes
         from .pallas.spmm import BD
         if values.shape[-1] <= BD:
-            return gat_attention_nodes(
-                pi, pj, values, g.spmm_aux,
+            # affine logits as a rank-2 dot:
+            # leaky_relu(pi[r] + pj[s]) == leaky_relu(<[pi, 1], [1, pj]>)
+            one = jnp.ones_like(pi)
+            q2 = jnp.stack([pi, one], axis=-1)            # [N, H, 2]
+            k2 = jnp.stack([one, pj], axis=-1)            # [N, H, 2]
+            return dot_attention_nodes(
+                q2, k2, values, g.spmm_aux,
                 (g.receivers, g.senders, g.edge_mask),
-                (n, values.shape[0], float(slope)),
+                (n, values.shape[0], 1.0, float(slope)),
                 self_logits, self_values)
     logits = jax.nn.leaky_relu(
         gather(pi, g.receivers) + gather(pj, g.senders), slope)

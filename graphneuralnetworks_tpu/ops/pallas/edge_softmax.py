@@ -36,8 +36,7 @@ from ..segment import gather
 from .spmm import BN, SpmmAux, _scatter_grouped, _use_interpret
 
 __all__ = ["segment_max_grouped", "edge_softmax_aggregate",
-           "edge_softmax_aggregate_nodes", "gat_attention_nodes",
-           "dot_attention_nodes"]
+           "edge_softmax_aggregate_nodes", "dot_attention_nodes"]
 
 
 def _segmax_kernel(block_rows_ref, recv_ref, lg_ref, out_ref):
@@ -268,44 +267,20 @@ def _flash_kernel(block_rows_ref, recv_ref, lg_ref, msk_ref, v_ref,
                   m_ref, s_ref)
 
 
-def _flash_affine_kernel(block_rows_ref, recv_ref, pj_ref, pi_ref, v_ref,
-                         y_ref, m_ref, s_ref, *, slope: float):
-    """Flash update with GAT-affine logits computed IN-kernel.
-
-    ``lg = leaky_relu(pi[recv] + pj[sender], slope)`` — pi arrives as the
-    output row block (no gather at all), pj rides a grouped narrow gather.
-    No edge-space logit array ever exists.
-    """
-    k = pl.program_id(0)
-    b = block_rows_ref[k]
-    prev = block_rows_ref[jnp.maximum(k - 1, 0)]
-    _flash_reset(y_ref, m_ref, s_ref,
-                 jnp.logical_or(k == 0, b != prev))
-    neg = jnp.asarray(-jnp.inf, pj_ref.dtype)
-    recv = recv_ref[0]                                    # [1, BE]
-    rows = jax.lax.broadcasted_iota(jnp.int32,
-                                    (y_ref.shape[0], recv.shape[1]), 0)
-    hit = rows == recv                                    # [BN, BE]
-    # pi per slot via one-hot select; dummy slots (no hit) -> -inf
-    pi_e = jnp.max(jnp.where(hit, pi_ref[:, 0][:, None], neg), axis=0,
-                   keepdims=True)                         # [1, BE]
-    raw = pi_e + pj_ref[0]                                # [1, BE]
-    # leaky_relu; dummies guarded against slope * -inf = nan when slope == 0
-    lg = jnp.where(raw == neg, neg,
-                   jnp.where(raw >= 0, raw, slope * raw))
-    _flash_update(hit, lg, None, v_ref[:], y_ref, m_ref, s_ref)
-
-
 def _flash_dot_kernel(block_rows_ref, recv_ref, q_ref, kv_ref,
-                      y_ref, m_ref, s_ref, *, scale: float, bo: int):
+                      y_ref, m_ref, s_ref, *, scale: float, bo: int,
+                      slope: float | None):
     """Flash update with DOT-PRODUCT logits computed IN-kernel.
 
-    ``lg = scale * <q[recv], k[sender]>`` — q arrives as the output row
-    block (no gather at all; distributed to edge slots by a one-hot MXU
-    matmul), k and v ride ONE fused grouped gather (kv_ref = [K | V] along
-    lanes, split at ``bo``; the sender gather is transaction-count-bound on
-    TPU, so one wide gather beats two). No edge-space logit array ever
-    exists. The transformer/AGNN analog of :func:`_flash_affine_kernel`.
+    ``lg = scale * <q[recv], k[sender]>``, optionally through
+    ``leaky_relu(·, slope)`` — q arrives as the output row block (no gather
+    at all; distributed to edge slots by a one-hot MXU matmul), k and v ride
+    ONE fused grouped gather (kv_ref = [K | V] along lanes, split at ``bo``;
+    the sender gather is transaction-count-bound on TPU, so one wide gather
+    beats two). No edge-space logit array ever exists.
+
+    The slope path covers GAT-family AFFINE logits as a rank-2 dot:
+    ``leaky_relu(pi[r] + pj[s]) == leaky_relu(<[pi, 1], [1, pj]>)``.
     """
     kidx = pl.program_id(1)
     b = block_rows_ref[kidx]
@@ -327,12 +302,15 @@ def _flash_dot_kernel(block_rows_ref, recv_ref, q_ref, kv_ref,
                          preferred_element_type=jnp.float32)
     lg = (jnp.sum(q_slot * kg.astype(jnp.float32), axis=1)
           * scale)[None, :].astype(q_ref.dtype)           # [1, BE]
+    if slope is not None:
+        lg = jnp.where(lg >= 0, lg, slope * lg)
     lg = jnp.where(recv >= 0, lg, neg)
     _flash_update(hit, lg, None, v, y_ref, m_ref, s_ref)
 
 
 def _flash_dot_grouped(q_flat, kv_flat, aux: SpmmAux, n_pad: int,
                        scale: float, h_dim: int, bo: int, bd: int,
+                       slope: float | None = None,
                        *, interpret: bool | None = None):
     """Fused dot-logit flash pass over all heads (one grouped gather total).
 
@@ -365,7 +343,8 @@ def _flash_dot_grouped(q_flat, kv_flat, aux: SpmmAux, n_pad: int,
         ],
     )
     y, m, s = pl.pallas_call(
-        functools.partial(_flash_dot_kernel, scale=scale, bo=bo),
+        functools.partial(_flash_dot_kernel, scale=scale, bo=bo,
+                          slope=slope),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_nblk * BN, h_dim * bd), kv_flat.dtype),
@@ -442,162 +421,6 @@ def _flash_grouped(values_grp: jax.Array, lg_grp: jax.Array,
     return y[:n_pad, :d], m[:n_pad, 0], s[:n_pad, 0]
 
 
-def _flash_affine_grouped(values_grp, pj_grp, pi, aux: SpmmAux, n_pad: int,
-                          slope: float, *, interpret: bool | None = None):
-    """Affine-logit flash pass. values_grp: [n_eblk, BE, D] (D <= BD);
-    pj_grp: [n_eblk, BE]; pi: [n_pad]. Returns (Y, m, s) like
-    :func:`_flash_grouped`."""
-    if interpret is None:
-        interpret = _use_interpret()
-    n_eblk, be, d = values_grp.shape
-    n_nblk = -(-n_pad // BN)
-    from .spmm import BD
-    bd = min(max(d, 128), BD)
-    if -(-d // bd) * bd != bd:
-        raise ValueError("affine flash path requires D <= BD")
-    if bd != d:
-        values_grp = jnp.pad(values_grp, ((0, 0), (0, 0), (0, bd - d)))
-    vflat = values_grp.reshape(n_eblk * be, bd)
-    pi_col = jnp.pad(pi[:, None], ((0, n_nblk * BN - n_pad), (0, 0)))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_eblk,),
-        in_specs=[
-            pl.BlockSpec((1, 1, be), lambda k, br: (k, 0, 0)),
-            pl.BlockSpec((1, 1, be), lambda k, br: (k, 0, 0)),
-            pl.BlockSpec((BN, 1), lambda k, br: (br[k], 0)),
-            pl.BlockSpec((be, bd), lambda k, br: (k, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((BN, bd), lambda k, br: (br[k], 0)),
-            pl.BlockSpec((BN, 1), lambda k, br: (br[k], 0)),
-            pl.BlockSpec((BN, 1), lambda k, br: (br[k], 0)),
-        ],
-    )
-    y, m, s = pl.pallas_call(
-        functools.partial(_flash_affine_kernel, slope=slope),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_nblk * BN, bd), values_grp.dtype),
-            jax.ShapeDtypeStruct((n_nblk * BN, 1), pj_grp.dtype),
-            jax.ShapeDtypeStruct((n_nblk * BN, 1), pj_grp.dtype),
-        ],
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n_eblk * be * BN * bd,
-            bytes_accessed=(n_eblk * be * bd + n_nblk * BN * bd)
-            * values_grp.dtype.itemsize,
-            transcendentals=n_eblk * be,
-        ),
-    )(aux.block_rows, aux.recv_local[:, None, :], pj_grp[:, None, :],
-      pi_col, vflat)
-    return y[:n_pad, :d], m[:n_pad, 0], s[:n_pad, 0]
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def gat_attention_nodes(pi, pj, values_n, auxes, ids, static_args,
-                        self_logits=None, self_values=None):
-    """GAT-family attention with logits ``leaky_relu(pi[r] + pj[s])`` fully
-    in-kernel: ZERO edge-space logit arrays, one grouped value gather, one
-    grouped narrow (pj) gather. The fastest attention path.
-
-    Args:
-      pi/pj: [N, H] receiver/sender logit projections (``a_i' W x`` /
-        ``a_j' W x``).
-      values_n: [N_src_pad, H, D] sender-side node values.
-      auxes: (aux_fwd, aux_rev); ids: (receivers, senders, edge_mask).
-      static_args: (n_dst_pad, n_src_pad, negative_slope).
-      self_logits/self_values: optional virtual self-loop terms.
-
-    Returns [N_dst_pad, H, D].
-    """
-    out, _, _ = _gat_forward(pi, pj, values_n, auxes, ids, static_args,
-                             self_logits, self_values)
-    return out
-
-
-def _gat_forward(pi, pj, values_n, auxes, ids, static_args, self_logits,
-                 self_values):
-    aux, _ = auxes
-    receivers, senders, edge_mask = ids
-    n_pad, _, slope = static_args
-    h_dim = pi.shape[1]
-    # Only real edges occupy live grouped slots (padded edges never enter
-    # the grouping; dummy slots have recv_local == -1 and die in-kernel),
-    # so pj rides the SAME senders_grp indexing as the values.
-    ys, ms, ss = [], [], []
-    for h in range(h_dim):
-        pj_grp = gather(pj[:, h], aux.senders_grp)        # [blk, BE]
-        v_grp = gather(values_n[:, h, :], aux.senders_grp)
-        y, m, s = _flash_affine_grouped(v_grp, pj_grp, pi[:, h], aux,
-                                        n_pad, slope)
-        ys.append(y)
-        ms.append(m)
-        ss.append(s)
-    num = jnp.stack(ys, axis=1)
-    m = jnp.stack(ms, axis=1)
-    den = jnp.stack(ss, axis=1)
-    return _finalize_softmax(num, m, den, self_logits, self_values, None)
-
-
-def _gat_fwd(pi, pj, values_n, auxes, ids, static_args, self_logits,
-             self_values):
-    out, mx, den = _gat_forward(pi, pj, values_n, auxes, ids, static_args,
-                                self_logits, self_values)
-    res = (pi, pj, values_n, auxes, ids, self_logits, self_values, out, mx,
-           den)
-    return out, res
-
-
-def _gat_bwd(static_args, res, dy):
-    from ..segment import segment_sum
-    (pi, pj, values_n, auxes, ids, self_logits, self_values, out, mx,
-     den) = res
-    aux, aux_rev = auxes
-    receivers, senders, edge_mask = ids
-    n_pad, n_src_pad, slope = static_args
-    h_dim = pi.shape[1]
-    raw = gather(pi, receivers) + gather(pj, senders)     # [E, H]
-    lg = jnp.where(raw >= 0, raw, slope * raw)
-    dsig = jnp.where(raw >= 0, 1.0, slope)
-    alpha_e = jnp.where(
-        edge_mask[:, None],
-        jnp.exp(jnp.where(edge_mask[:, None], lg, -jnp.inf)
-                - gather(mx, receivers)) / gather(den, receivers),
-        0.0)                                              # [E, H]
-
-    alpha_ext = jnp.concatenate(
-        [alpha_e, jnp.zeros((1, h_dim), alpha_e.dtype)])
-    dv_n = jnp.stack(
-        [_scatter_grouped(gather(dy[:, h, :], aux_rev.senders_grp), aux_rev,
-                          n_src_pad,
-                          w_grp=gather(alpha_ext[:, h], aux_rev.edge_perm),
-                          interpret=_use_interpret())
-         for h in range(h_dim)], axis=1)                  # [N_src, H, D]
-
-    dy_e = gather(dy, receivers)                          # [E, H, D]
-    v_e = gather(values_n, senders)                       # [E, H, D]
-    s_n = jnp.sum(out * dy, -1)                           # [N, H]
-    dlg = alpha_e * (jnp.sum(v_e * dy_e, -1)
-                     - gather(s_n, receivers))            # [E, H]
-    draw = dlg * dsig
-    dpi = segment_sum(draw, receivers, n_pad, mask=edge_mask, sorted=True)
-    # senders are unsorted; still a segment sum (widened scatter-add)
-    dpj = segment_sum(draw, senders, pj.shape[0], mask=edge_mask)
-    if self_logits is not None:
-        alpha_self = jnp.exp(self_logits - mx) / den      # [N, H]
-        dsl = (alpha_self * jnp.sum(self_values * dy, -1)
-               - alpha_self * s_n)
-        dsv = alpha_self[..., None] * dy
-    else:
-        dsl = dsv = None
-    return dpi, dpj, dv_n, None, None, dsl, dsv
-
-
-gat_attention_nodes.defvjp(_gat_fwd, _gat_bwd)
-
-
 # ---------------------------------------------------------------------------
 # fused dot-product attention (transformer/AGNN-style logits in-kernel)
 # ---------------------------------------------------------------------------
@@ -624,10 +447,12 @@ def dot_attention_nodes(q, k, values_n, auxes, ids, static_args,
       k: [N_src, H, O] sender-side projections (keys).
       values_n: [N_src, H, D] sender-side node values.
       auxes: (aux_fwd, aux_rev); ids: (receivers, senders, edge_mask).
-      static_args: (n_dst_pad, n_src_pad, scale).
+      static_args: (n_dst_pad, n_src_pad, scale, slope) — slope=None for
+        plain dots, a float applies ``leaky_relu(·, slope)`` to the scaled
+        dot (the GAT-family affine path via rank-2 q/k).
       self_logits/self_values: optional virtual self-loop terms
         ([N, H] / [N, H, D]; note self logits are NOT scaled here — pass
-        them pre-scaled).
+        them pre-scaled/pre-activated).
 
     Returns [N_dst_pad, H, D].
     """
@@ -640,7 +465,7 @@ def _dot_forward(q, k, values_n, auxes, ids, static_args, self_logits,
                  self_values):
     from .spmm import BD
     aux, _ = auxes
-    n_pad, _, scale = static_args
+    n_pad, _, scale, slope = static_args
     _, h_dim, o = q.shape
     d = values_n.shape[2]
     bo = min(max(o, 128), BD)
@@ -655,7 +480,7 @@ def _dot_forward(q, k, values_n, auxes, ids, static_args, self_logits,
     q_flat = _lane_pad(q, bo).reshape(q.shape[0], h_dim * bo)
     y, m, s = _flash_dot_grouped(
         q_flat, kv_grp.reshape(-1, h_dim * (bo + bd)), aux, n_pad,
-        float(scale), h_dim, bo, bd)
+        float(scale), h_dim, bo, bd, slope)
     num = y.reshape(-1, h_dim, bd)[:, :, :d]              # [N, H, D]
     return _finalize_softmax(num, m, s, self_logits, self_values, None)
 
@@ -675,9 +500,14 @@ def _dot_bwd(static_args, res, dy):
      den) = res
     aux, aux_rev = auxes
     receivers, senders, edge_mask = ids
-    n_pad, n_src_pad, scale = static_args
+    n_pad, n_src_pad, scale, slope = static_args
     h_dim = q.shape[1]
-    lg = scale * jnp.sum(_g(q, receivers) * _g(k, senders), -1)   # [E, H]
+    raw = scale * jnp.sum(_g(q, receivers) * _g(k, senders), -1)  # [E, H]
+    if slope is None:
+        lg, dsig = raw, scale
+    else:
+        lg = jnp.where(raw >= 0, raw, slope * raw)
+        dsig = jnp.where(raw >= 0, 1.0, slope) * scale
     alpha_e = jnp.where(
         edge_mask[:, None],
         jnp.exp(jnp.where(edge_mask[:, None], lg, -jnp.inf)
@@ -697,7 +527,7 @@ def _dot_bwd(static_args, res, dy):
     v_e = _g(values_n, senders)                           # [E, H, D]
     s_n = jnp.sum(out * dy, -1)                           # [N, H]
     dlg = alpha_e * (jnp.sum(v_e * dy_e, -1)
-                     - _g(s_n, receivers)) * scale        # [E, H]
+                     - _g(s_n, receivers)) * dsig         # [E, H]
     dlg_ext = jnp.concatenate([dlg, jnp.zeros((1, h_dim), dlg.dtype)])
     # dq[r] = Σ_e dlg_e k[s_e]   (forward grouping: by receiver)
     dq = jnp.stack(
