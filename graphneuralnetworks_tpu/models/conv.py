@@ -28,7 +28,7 @@ from ..graph import GraphTuple
 from ..ops import (aggregate_neighbors, apply_edges, copy_xj, e_mul_xj,
                    propagate, w_mul_xj, xi_dot_xj, xi_sub_xj)
 from ..ops.attention import (attention_aggregate, dot_attention,
-                             gat_attention)
+                             gat_attention, gatv2_attention)
 from ..ops.segment import gather, segment_sum
 from ..query import degree, scaled_laplacian
 from .basic import GNNLayer, glorot_uniform
@@ -397,16 +397,6 @@ class GATv2Conv(GNNLayer):
         H, O = self.heads, self.out_features
         Wxi = self.dense_i(xi).reshape(-1, H, O)
         Wxj = self.dense_j(xj).reshape(-1, H, O)
-        Wxi_e = gather(Wxi, g.receivers)
-        Wxj_e = gather(Wxj, g.senders)
-        wx = Wxi_e + Wxj_e
-        if e is not None:
-            if self.dense_e is None:
-                raise ValueError("edge features not configured")
-            wx = wx + self.dense_e(e).reshape(-1, H, O)
-        elif self.dense_e is not None:
-            raise ValueError("edge features required")
-        logits = self._logits(wx)
         if self.add_self_loops:
             # self edge: dense_i(x_i) + dense_j(x_i)
             Wji = self.dense_j(xi).reshape(-1, H, O)
@@ -417,11 +407,26 @@ class GATv2Conv(GNNLayer):
         masks = _attn_dropout_masks(self.attn_dropout, g, Wxi.shape[0],
                                     self.heads, deterministic,
                                     self.add_self_loops)
-        out = attention_aggregate(g, logits, Wxj, self_logits=self_logits,
+        if e is None and self.dense_e is None:
+            # fused path: one grouped gather for the whole layer
+            out = gatv2_attention(g, Wxi, Wxj, self.a.value,
+                                  self.negative_slope,
+                                  self_logits=self_logits,
                                   self_values=self_values,
                                   dropout_masks=masks,
-                                  num_segments=Wxi.shape[0],
-                                  node_values=True)
+                                  num_segments=Wxi.shape[0])
+        else:
+            if e is None or self.dense_e is None:
+                raise ValueError("edge features required/not configured")
+            wx = (gather(Wxi, g.receivers) + gather(Wxj, g.senders)
+                  + self.dense_e(e).reshape(-1, H, O))
+            logits = self._logits(wx)
+            out = attention_aggregate(g, logits, Wxj,
+                                      self_logits=self_logits,
+                                      self_values=self_values,
+                                      dropout_masks=masks,
+                                      num_segments=Wxi.shape[0],
+                                      node_values=True)
         out = (out.reshape(-1, H * O) if self.concat else out.mean(axis=1))
         if self.bias is not None:
             out = out + self.bias.value

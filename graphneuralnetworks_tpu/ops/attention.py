@@ -21,8 +21,45 @@ import jax.numpy as jnp
 from ..graph import GraphTuple
 from .segment import gather, segment_sum, segment_max
 
-__all__ = ["attention_aggregate", "gat_attention", "dot_attention",
-           "dot_attention_logits"]
+__all__ = ["attention_aggregate", "gat_attention", "gatv2_attention",
+           "dot_attention", "dot_attention_logits"]
+
+
+def gatv2_attention(g: GraphTuple, q: jax.Array, k: jax.Array,
+                    a: jax.Array, slope: float, *,
+                    self_logits: jax.Array | None = None,
+                    self_values: jax.Array | None = None,
+                    dropout_masks=None,
+                    num_segments: int | None = None) -> jax.Array:
+    """GATv2 attention: logits ``<a_h, leaky_relu(q[r] + k[s])>``, values=k.
+
+    On the fused path the whole layer pays ONE grouped gather
+    (ops/pallas/edge_softmax.py:gatv2_attention_nodes). Falls back to
+    gathered logits + :func:`attention_aggregate` when dropout masks are
+    present or shapes don't fit.
+
+    Args:
+      q/k: [N_dst, H, O] / [N_src, H, O] (Wi x / Wj x; k is also the value).
+      a: [O, H] attention vector.
+    """
+    n = num_segments if num_segments is not None else g.n_pad
+    if (g.spmm_aux is not None and n == g.n_pad and dropout_masks is None
+            and q.ndim == 3 and k.shape[0] == g.n_pad):
+        from .pallas.edge_softmax import gatv2_attention_nodes
+        from .pallas.spmm import BD
+        if q.shape[-1] <= BD:
+            return gatv2_attention_nodes(
+                q, k, a, g.spmm_aux,
+                (g.receivers, g.senders, g.edge_mask),
+                (n, k.shape[0], float(slope)),
+                self_logits, self_values)
+    wx = gather(q, g.receivers) + gather(k, g.senders)
+    logits = jnp.einsum("ehf,fh->eh",
+                        jax.nn.leaky_relu(wx, slope), a)
+    return attention_aggregate(g, logits, k, self_logits=self_logits,
+                               self_values=self_values,
+                               dropout_masks=dropout_masks,
+                               num_segments=num_segments, node_values=True)
 
 
 def dot_attention(g: GraphTuple, q: jax.Array, k: jax.Array,

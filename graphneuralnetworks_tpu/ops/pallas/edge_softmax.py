@@ -36,7 +36,8 @@ from ..segment import gather
 from .spmm import BN, SpmmAux, _scatter_grouped, _use_interpret
 
 __all__ = ["segment_max_grouped", "edge_softmax_aggregate",
-           "edge_softmax_aggregate_nodes", "dot_attention_nodes"]
+           "edge_softmax_aggregate_nodes", "dot_attention_nodes",
+           "gatv2_attention_nodes"]
 
 
 def _segmax_kernel(block_rows_ref, recv_ref, lg_ref, out_ref):
@@ -553,6 +554,185 @@ def _dot_bwd(static_args, res, dy):
 
 
 dot_attention_nodes.defvjp(_dot_fwd, _dot_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused GATv2 attention: logits a' leaky_relu(q[r] + k[s]), values == k
+# ---------------------------------------------------------------------------
+
+
+def _flash_gatv2_kernel(block_rows_ref, recv_ref, q_ref, kg_ref, a_ref,
+                        y_ref, m_ref, s_ref, *, slope: float):
+    """Flash update with GATv2 logits computed IN-kernel.
+
+    ``lg = <a, leaky_relu(q[recv] + k[sender])>`` and the VALUES are the
+    same ``k[sender]`` rows (GATv2 aggregates Wx_j — GNNlib conv.jl:171-214)
+    — so the ENTIRE layer pays one grouped gather. q arrives as the output
+    row block, distributed to slots by a one-hot MXU matmul.
+    """
+    kidx = pl.program_id(1)
+    b = block_rows_ref[kidx]
+    prev = block_rows_ref[jnp.maximum(kidx - 1, 0)]
+    _flash_reset(y_ref, m_ref, s_ref,
+                 jnp.logical_or(kidx == 0, b != prev))
+    neg = jnp.asarray(-jnp.inf, q_ref.dtype)
+    recv = recv_ref[0]                                    # [1, BE]
+    rows = jax.lax.broadcasted_iota(jnp.int32,
+                                    (y_ref.shape[0], recv.shape[1]), 0)
+    hit = rows == recv                                    # [BN, BE]
+    cols = jax.lax.broadcasted_iota(jnp.int32,
+                                    (recv.shape[1], y_ref.shape[0]), 1)
+    oh_t = (cols == recv[0][:, None]).astype(q_ref.dtype)  # [BE, BN]
+    q_slot = jax.lax.dot(oh_t, q_ref[:],
+                         preferred_element_type=jnp.float32)
+    raw = q_slot + kg_ref[:].astype(jnp.float32)          # [BE, bo]
+    act = jnp.where(raw >= 0, raw, slope * raw)
+    lg = jnp.sum(act * a_ref[0][None, :].astype(jnp.float32),
+                 axis=1)[None, :].astype(q_ref.dtype)     # [1, BE]
+    lg = jnp.where(recv >= 0, lg, neg)
+    _flash_update(hit, lg, None, kg_ref[:], y_ref, m_ref, s_ref)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def gatv2_attention_nodes(q, k, a, auxes, ids, static_args,
+                          self_logits=None, self_values=None):
+    """GATv2 attention fully in-kernel: logits
+    ``<a_h, leaky_relu(q[r] + k[s])>`` with ``k`` doubling as the values.
+    ONE grouped gather for the whole layer; zero edge-space arrays.
+
+    Args:
+      q: [N_dst, H, O] receiver projections (Wi x).
+      k: [N_src, H, O] sender projections (Wj x) — also the values.
+      a: [O, H] attention vector (layer layout).
+      auxes: (aux_fwd, aux_rev); ids: (receivers, senders, edge_mask).
+      static_args: (n_dst_pad, n_src_pad, slope).
+      self_logits/self_values: optional virtual self-loop terms.
+
+    Returns [N_dst_pad, H, O].
+    """
+    out, _, _ = _gatv2_forward(q, k, a, auxes, ids, static_args,
+                               self_logits, self_values)
+    return out
+
+
+def _gatv2_forward(q, k, a, auxes, ids, static_args, self_logits,
+                   self_values):
+    from .spmm import BD
+    aux, _ = auxes
+    n_pad, _, slope = static_args
+    _, h_dim, o = q.shape
+    bo = min(max(o, 128), BD)
+    if o > bo:
+        raise ValueError("fused GATv2 requires O <= BD")
+    n_eblk = aux.n_eblk
+    be = aux.senders_grp.shape[1]
+    n_nblk = -(-n_pad // BN)
+    k_flat = _lane_pad(k, bo).reshape(k.shape[0], h_dim * bo)
+    kg_flat = gather(k_flat, aux.senders_grp).reshape(-1, h_dim * bo)
+    q_flat = _lane_pad(q, bo).reshape(q.shape[0], h_dim * bo)
+    q_flat = jnp.pad(q_flat, ((0, n_nblk * BN - q_flat.shape[0]), (0, 0)))
+    a_hp = _lane_pad(jnp.swapaxes(a, 0, 1), bo)           # [H, bo]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(h_dim, n_eblk),
+        in_specs=[
+            pl.BlockSpec((1, 1, be), lambda j, kk, br: (kk, 0, 0)),
+            pl.BlockSpec((BN, bo), lambda j, kk, br: (br[kk], j)),
+            pl.BlockSpec((be, bo), lambda j, kk, br: (kk, j)),
+            pl.BlockSpec((1, bo), lambda j, kk, br: (j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((BN, bo), lambda j, kk, br: (br[kk], j)),
+            pl.BlockSpec((BN, 1), lambda j, kk, br: (br[kk], j)),
+            pl.BlockSpec((BN, 1), lambda j, kk, br: (br[kk], j)),
+        ],
+    )
+    y, m, s = pl.pallas_call(
+        functools.partial(_flash_gatv2_kernel, slope=slope),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_nblk * BN, h_dim * bo), k.dtype),
+            jax.ShapeDtypeStruct((n_nblk * BN, h_dim), q.dtype),
+            jax.ShapeDtypeStruct((n_nblk * BN, h_dim), q.dtype),
+        ],
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * h_dim * n_eblk * be * BN * bo,
+            bytes_accessed=h_dim * (n_eblk * be * bo + 2 * n_nblk * BN * bo)
+            * k.dtype.itemsize,
+            transcendentals=h_dim * n_eblk * be,
+        ),
+    )(aux.block_rows, aux.recv_local[:, None, :], q_flat, kg_flat, a_hp)
+    num = y[:n_pad].reshape(-1, h_dim, bo)[:, :, :o]
+    return _finalize_softmax(num, m[:n_pad], s[:n_pad], self_logits,
+                             self_values, None)
+
+
+def _gatv2_fwd(q, k, a, auxes, ids, static_args, self_logits, self_values):
+    out, mx, den = _gatv2_forward(q, k, a, auxes, ids, static_args,
+                                  self_logits, self_values)
+    res = (q, k, a, auxes, ids, self_logits, self_values, out, mx, den)
+    return out, res
+
+
+def _gatv2_bwd(static_args, res, dy):
+    from ..segment import gather as _g
+    (q, k, a, auxes, ids, self_logits, self_values, out, mx, den) = res
+    aux, aux_rev = auxes
+    receivers, senders, edge_mask = ids
+    n_pad, n_src_pad, slope = static_args
+    h_dim, o = q.shape[1], q.shape[2]
+    raw = _g(q, receivers) + _g(k, senders)               # [E, H, O]
+    act = jnp.where(raw >= 0, raw, slope * raw)
+    lg = jnp.einsum("ehf,fh->eh", act, a)
+    alpha_e = jnp.where(
+        edge_mask[:, None],
+        jnp.exp(jnp.where(edge_mask[:, None], lg, -jnp.inf)
+                - _g(mx, receivers)) / _g(den, receivers),
+        0.0)                                              # [E, H]
+
+    # value-gradient half (values == k): reverse-grouped scatter-matmul
+    alpha_ext = jnp.concatenate(
+        [alpha_e, jnp.zeros((1, h_dim), alpha_e.dtype)])
+    dk = jnp.stack(
+        [_scatter_grouped(_g(dy[:, h, :], aux_rev.senders_grp), aux_rev,
+                          n_src_pad,
+                          w_grp=_g(alpha_ext[:, h], aux_rev.edge_perm),
+                          interpret=_use_interpret())
+         for h in range(h_dim)], axis=1)                  # [N_src, H, O]
+
+    dy_e = _g(dy, receivers)                              # [E, H, O]
+    v_e = _g(k, senders)
+    s_n = jnp.sum(out * dy, -1)                           # [N, H]
+    dlg = alpha_e * (jnp.sum(v_e * dy_e, -1)
+                     - _g(s_n, receivers))                # [E, H]
+    da = jnp.einsum("ehf,eh->fh", act, dlg)
+    dsig = jnp.where(raw >= 0, 1.0, slope)
+    draw = dlg[..., None] * jnp.swapaxes(a, 0, 1)[None] * dsig  # [E, H, O]
+    draw_ext = jnp.concatenate(
+        [draw, jnp.zeros((1, h_dim, o), draw.dtype)])
+    # logit halves: dq[r] += draw_e; dk[s] += draw_e (edge-level scatters
+    # through the groupings)
+    dq = jnp.stack(
+        [_scatter_grouped(_g(draw_ext[:, h, :], aux.edge_perm), aux, n_pad,
+                          interpret=_use_interpret())
+         for h in range(h_dim)], axis=1)
+    dk = dk + jnp.stack(
+        [_scatter_grouped(_g(draw_ext[:, h, :], aux_rev.edge_perm), aux_rev,
+                          n_src_pad, interpret=_use_interpret())
+         for h in range(h_dim)], axis=1)
+    if self_logits is not None:
+        alpha_self = jnp.exp(self_logits - mx) / den      # [N, H]
+        dsl = (alpha_self * jnp.sum(self_values * dy, -1)
+               - alpha_self * s_n)
+        dsv = alpha_self[..., None] * dy
+    else:
+        dsl = dsv = None
+    return dq, dk, da, None, None, dsl, dsv
+
+
+gatv2_attention_nodes.defvjp(_gatv2_fwd, _gatv2_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -366,3 +366,68 @@ def test_transformer_agnn_fused_vs_xla_layer_level():
         for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=3e-5)
+
+
+@pytest.mark.parametrize("with_self", [False, True])
+@pytest.mark.parametrize("heads", [1, 2])
+def test_gatv2_kernel_matches_xla(with_self, heads):
+    """In-kernel GATv2 logits (gatv2_attention) vs XLA path, fwd+grads."""
+    from graphneuralnetworks_tpu.ops.attention import gatv2_attention
+    g = _graph(n=60, e=240, seed=10)
+    g_xla = g.replace(spmm_aux=None)
+    rng = np.random.default_rng(17)
+    o, slope = 5, 0.2
+    q = jnp.asarray(rng.standard_normal((g.n_pad, heads, o)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((g.n_pad, heads, o)), jnp.float32)
+    a = jnp.asarray(rng.standard_normal((o, heads)), jnp.float32)
+    sl = (jnp.asarray(rng.standard_normal((g.n_pad, heads)), jnp.float32)
+          if with_self else None)
+    sv = (jnp.asarray(rng.standard_normal((g.n_pad, heads, o)), jnp.float32)
+          if with_self else None)
+    t = jnp.asarray(rng.standard_normal((g.n_pad, heads, o)), jnp.float32)
+
+    def loss(gg, *args):
+        out = gatv2_attention(gg, args[0], args[1], args[2], slope,
+                              self_logits=args[3] if with_self else None,
+                              self_values=args[4] if with_self else None)
+        return jnp.sum(out * t)
+
+    args = (q, k, a) + ((sl, sv) if with_self else ())
+    out1 = gatv2_attention(g, q, k, a, slope, self_logits=sl,
+                           self_values=sv)
+    out2 = gatv2_attention(g_xla, q, k, a, slope, self_logits=sl,
+                           self_values=sv)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=2e-5, atol=2e-5)
+    idx = tuple(range(len(args)))
+    g1 = jax.grad(lambda *xs: loss(g, *xs), argnums=idx)(*args)
+    g2 = jax.grad(lambda *xs: loss(g_xla, *xs), argnums=idx)(*args)
+    for x1, x2 in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
+                                   rtol=2e-4, atol=3e-5)
+
+
+def test_gatv2conv_fused_vs_xla_layer_level():
+    """GATv2Conv end-to-end: fused kernel vs spmm_aux-less XLA path."""
+    from flax import nnx
+    from graphneuralnetworks_tpu import models as M
+    g = _graph(n=50, e=200, seed=11)
+    g_xla = g.replace(spmm_aux=None)
+    rng = np.random.default_rng(18)
+    x = jnp.asarray(rng.standard_normal((g.n_pad, 6)), jnp.float32)
+    layer = M.GATv2Conv(6, 5, heads=2, rngs=nnx.Rngs(0))
+    y1, y2 = layer(g, x), layer(g_xla, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=2e-5,
+                               atol=2e-5)
+    gd = nnx.graphdef(layer)
+
+    def loss(state, gg):
+        m = nnx.merge(gd, state)
+        return jnp.sum(m(gg, x) ** 2)
+
+    s = nnx.state(layer)
+    g1 = jax.grad(loss)(s, g)
+    g2 = jax.grad(loss)(s, g_xla)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=3e-5)
