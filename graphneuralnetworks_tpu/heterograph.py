@@ -41,6 +41,9 @@ class Relation:
     num_edges: jax.Array          # int32[]
     data: dict = dataclasses.field(default_factory=dict)
     edge_weight: jax.Array | None = None
+    # (aux_fwd, aux_rev) SpmmAux pair for the Pallas kernels (fwd groups by
+    # receiver over the DST type's pad, rev by sender over the SRC type's).
+    spmm_aux: tuple | None = None
     sorted_by_receivers: bool = dataclasses.field(
         default=True, metadata=dict(static=True))
 
@@ -136,6 +139,7 @@ class HeteroGraphTuple:
             edges=rel.data,
             edge_weight=rel.edge_weight,
             sorted_by_receivers=rel.sorted_by_receivers,
+            spmm_aux=rel.spmm_aux,
         )
 
     def degree(self, etype: EType, *, dir: str = "in",
@@ -160,7 +164,8 @@ class HeteroGraphTuple:
 def heterograph(relations: Mapping[EType, tuple], *, num_nodes=None,
                 node_data=None, edge_data=None, graph_data=None,
                 node_pad=None, edge_pad=None,
-                bidirected_pairs: bool = False) -> HeteroGraphTuple:
+                bidirected_pairs: bool = False,
+                build_spmm_aux: bool = False) -> HeteroGraphTuple:
     """Host-side builder.
 
     ``relations``: {(srcT, relT, dstT): (senders, receivers[, weight])}.
@@ -225,9 +230,22 @@ def heterograph(relations: Mapping[EType, tuple], *, num_nodes=None,
             wp = np.zeros(epad, w.dtype)
             wp[:ne] = w
             wp = jnp.asarray(wp)
+        aux = None
+        if build_spmm_aux:
+            from .ops.pallas.spmm import build_spmm_aux as _build
+            src_pad = masks[et[0]].shape[0]
+            aux_fwd = _build(rp, sp, ne, dst_pad)
+            rev_order = np.argsort(s, kind="stable")
+            rev_r = np.zeros(epad, np.int32)
+            rev_s = np.zeros(epad, np.int32)
+            rev_r[:ne] = s[rev_order]   # reverse graph's receivers = senders
+            rev_s[:ne] = r[rev_order]
+            aux_rev = _build(rev_r, rev_s, ne, src_pad,
+                             orig_ids=rev_order.astype(np.int32))
+            aux = (aux_fwd, aux_rev)
         rels[et] = Relation(senders=jnp.asarray(sp), receivers=jnp.asarray(rp),
                             num_edges=jnp.int32(ne), data=feats,
-                            edge_weight=wp)
+                            edge_weight=wp, spmm_aux=aux)
 
     return HeteroGraphTuple(num_nodes=nums, node_mask=masks, node_data=ndata,
                             relations=rels,
@@ -238,7 +256,8 @@ def heterograph(relations: Mapping[EType, tuple], *, num_nodes=None,
 def rand_heterograph(num_nodes: Mapping[str, int],
                      num_edges: Mapping[EType, int], *,
                      node_data=None, seed: int = 0,
-                     bidirected: bool = False) -> HeteroGraphTuple:
+                     bidirected: bool = False,
+                     build_spmm_aux: bool = False) -> HeteroGraphTuple:
     """Random hetero graph (gnnheterograph/generate.jl:26-66)."""
     rng = np.random.default_rng(seed)
     rels = {}
@@ -250,13 +269,16 @@ def rand_heterograph(num_nodes: Mapping[str, int],
         if bidirected:
             rev = (et[2], et[1] + "_rev", et[0])
             rels[rev] = (r.copy(), s.copy())
-    return heterograph(rels, num_nodes=dict(num_nodes), node_data=node_data)
+    return heterograph(rels, num_nodes=dict(num_nodes), node_data=node_data,
+                       build_spmm_aux=build_spmm_aux)
 
 
 def rand_bipartite_heterograph(n1: int, n2: int, num_edges, *,
                                node_types=("A", "B"), rel=("to", "rev_to"),
                                bidirected: bool = True,
-                               seed: int = 0) -> HeteroGraphTuple:
+                               seed: int = 0,
+                               build_spmm_aux: bool = False
+                               ) -> HeteroGraphTuple:
     """gnnheterograph/generate.jl:110-123."""
     a, b = node_types
     if isinstance(num_edges, int):
@@ -272,7 +294,8 @@ def rand_bipartite_heterograph(n1: int, n2: int, num_edges, *,
     else:
         rels[(b, rel[1], a)] = (rng.integers(0, n2, e21),
                                 rng.integers(0, n1, e21))
-    return heterograph(rels, num_nodes={a: n1, b: n2})
+    return heterograph(rels, num_nodes={a: n1, b: n2},
+                       build_spmm_aux=build_spmm_aux)
 
 
 def add_self_loops_hetero(g: HeteroGraphTuple,

@@ -44,7 +44,7 @@ def gatv2_attention(g: GraphTuple, q: jax.Array, k: jax.Array,
     """
     n = num_segments if num_segments is not None else g.n_pad
     if (g.spmm_aux is not None and n == g.n_pad and dropout_masks is None
-            and q.ndim == 3 and k.shape[0] == g.n_pad):
+            and q.ndim == 3 and q.shape[0] == n):
         from .pallas.edge_softmax import gatv2_attention_nodes
         from .pallas.spmm import BD
         if q.shape[-1] <= BD:
@@ -82,7 +82,8 @@ def dot_attention(g: GraphTuple, q: jax.Array, k: jax.Array,
     """
     n = num_segments if num_segments is not None else g.n_pad
     if (g.spmm_aux is not None and n == g.n_pad and q.ndim == 3
-            and values.ndim == 3 and q.shape[0] == g.n_pad):
+            and values.ndim == 3 and q.shape[0] == n
+            and k.shape[0] == values.shape[0]):
         from .pallas.edge_softmax import dot_attention_nodes
         from .pallas.spmm import BD
         if q.shape[-1] <= BD and values.shape[-1] <= BD:
@@ -143,15 +144,14 @@ def gat_attention(g: GraphTuple, pi: jax.Array, pj: jax.Array,
     n = num_segments if num_segments is not None else g.n_pad
     if (g.spmm_aux is not None and n == g.n_pad and dropout_masks is None
             and pi.ndim == 2 and values.ndim == 3
-            and values.shape[0] == g.n_pad):
+            and pi.shape[0] == n and values.shape[0] == pj.shape[0]):
         from .pallas.edge_softmax import dot_attention_nodes
         from .pallas.spmm import BD
         if values.shape[-1] <= BD:
             # affine logits as a rank-2 dot:
             # leaky_relu(pi[r] + pj[s]) == leaky_relu(<[pi, 1], [1, pj]>)
-            one = jnp.ones_like(pi)
-            q2 = jnp.stack([pi, one], axis=-1)            # [N, H, 2]
-            k2 = jnp.stack([one, pj], axis=-1)            # [N, H, 2]
+            q2 = jnp.stack([pi, jnp.ones_like(pi)], axis=-1)  # [N_dst, H, 2]
+            k2 = jnp.stack([jnp.ones_like(pj), pj], axis=-1)  # [N_src, H, 2]
             return dot_attention_nodes(
                 q2, k2, values, g.spmm_aux,
                 (g.receivers, g.senders, g.edge_mask),
