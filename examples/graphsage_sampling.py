@@ -54,8 +54,11 @@ def main():
     x_dim = g.nodes["x"].shape[-1]
     print(f"graph {g}")
 
+    # Pallas kernels pay off on TPU; in CPU interpret mode they simulate the
+    # grid step-by-step, so only build the grouping on a real TPU backend.
     loader = NeighborLoader(g, num_neighbors=args.fanout,
-                            batch_size=args.batch_size, seed=0)
+                            batch_size=args.batch_size, seed=0,
+                            build_spmm_aux=jax.default_backend() == "tpu")
     print(f"loader: {len(loader)} batches/epoch, "
           f"n_pad={loader.n_pad} e_pad={loader.e_pad}")
 

@@ -206,7 +206,8 @@ def graph(senders, receivers, *, num_nodes=None, nodes=None, edges=None,
           e_pad: int | None = None, sort: bool = True,
           node_graph_id=None, num_graphs: int = 1,
           g_pad: int | None = None,
-          build_spmm_aux: bool = False) -> GraphTuple:
+          build_spmm_aux: bool = False,
+          spmm_fixed_eblk: int | None = None) -> GraphTuple:
     """Host-side GraphTuple builder (numpy in, device pytree out).
 
     Reference parity: the `GNNGraph((s, t, w); ndata, edata, gdata)` COO
@@ -277,14 +278,16 @@ def graph(senders, receivers, *, num_nodes=None, nodes=None, edges=None,
         if not sort:
             raise ValueError("build_spmm_aux requires sort=True")
         from .ops.pallas.spmm import build_spmm_aux as _build
-        aux_fwd = _build(r_p, s_p, ne, n_pad)
+        aux_fwd = _build(r_p, s_p, ne, n_pad,
+                         fixed_n_eblk=spmm_fixed_eblk)
         rev_order = np.argsort(s, kind="stable")
         rev_r = np.full((e_pad,), dummy, np.int32)
         rev_s = np.full((e_pad,), dummy, np.int32)
         rev_r[:ne] = s[rev_order]   # reverse graph's receivers
         rev_s[:ne] = r[rev_order]
         aux_rev = _build(rev_r, rev_s, ne, n_pad,
-                         orig_ids=rev_order.astype(np.int32))
+                         orig_ids=rev_order.astype(np.int32),
+                         fixed_n_eblk=spmm_fixed_eblk)
         aux = (aux_fwd, aux_rev)
 
     return GraphTuple(

@@ -35,8 +35,18 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["SpmmAux", "build_spmm_aux", "spmm", "spmm_gather_scatter",
-           "BN", "BE", "BD"]
+__all__ = ["SpmmAux", "build_spmm_aux", "fixed_eblk_bound", "spmm",
+           "spmm_gather_scatter", "BN", "BE", "BD"]
+
+
+def fixed_eblk_bound(n_pad: int, e_pad: int, *, bn: int | None = None,
+                     be: int | None = None) -> int:
+    """Edge-block count sufficient for ANY edge distribution at the given
+    capacities: each non-empty node block wastes < 1 block of padding and
+    empty node blocks cost exactly 1."""
+    bn = bn or BN
+    be = be or BE
+    return -(-e_pad // be) + max(1, -(-n_pad // bn))
 
 # tile sizes: BN output rows x BE edges per block; features blocked by BD.
 # BN=128 = one MXU pass per edge block (empirically fastest on v5e: the
@@ -79,12 +89,17 @@ class SpmmAux:
 
 def build_spmm_aux(receivers, senders, num_edges: int, n_pad: int,
                    *, bn: int = BN, be: int = BE,
-                   orig_ids=None) -> SpmmAux:
+                   orig_ids=None, fixed_n_eblk: int | None = None) -> SpmmAux:
     """Host-side grouping: bucket sorted edges by receiver block, pad each
     bucket to a multiple of ``be`` edges (worst-case overhead: be-1 slots per
     non-empty node block). ``orig_ids`` maps input order to original edge ids
     (for reverse-direction groupings whose input is a permutation).
-    ``e_pad`` for dummy slots is taken from the receivers capacity."""
+    ``e_pad`` for dummy slots is taken from the receivers capacity.
+
+    ``fixed_n_eblk`` pads the grouping with trailing all-dummy edge blocks to
+    a FIXED block count so auxes of different graphs with the same
+    (n_pad, e_pad) share one jit trace (minibatch pipelines).
+    ``fixed_eblk_bound(n_pad, e_pad)`` is always sufficient."""
     receivers = np.asarray(receivers)
     senders = np.asarray(senders)
     e_pad = receivers.shape[0]
@@ -124,6 +139,24 @@ def build_spmm_aux(receivers, senders, num_edges: int, n_pad: int,
         perm_flat[dest] = ids
         slot_of_edge[ids] = dest
     rows = np.repeat(np.arange(n_nblk, dtype=np.int32), nb)
+
+    if fixed_n_eblk is not None:
+        n_eblk = total // be
+        if n_eblk > fixed_n_eblk:
+            raise ValueError(f"grouping needs {n_eblk} edge blocks > "
+                             f"fixed_n_eblk={fixed_n_eblk}")
+        extra = fixed_n_eblk - n_eblk
+        if extra:
+            # trailing dummy blocks repeat the LAST row index, so the reset
+            # logic never re-zeroes a visited output block
+            senders_flat = np.concatenate(
+                [senders_flat, np.zeros(extra * be, np.int32)])
+            recv_flat = np.concatenate(
+                [recv_flat, np.full(extra * be, -1, np.int32)])
+            perm_flat = np.concatenate(
+                [perm_flat, np.full(extra * be, e_pad, np.int32)])
+            rows = np.concatenate(
+                [rows, np.full(extra, rows[-1], np.int32)])
 
     return SpmmAux(
         block_rows=jnp.asarray(rows),

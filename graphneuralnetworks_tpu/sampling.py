@@ -123,8 +123,9 @@ class NeighborLoader:
     def __init__(self, g: GraphTuple, *, num_neighbors: Sequence[int],
                  input_nodes=None, batch_size: int = 32,
                  replace: bool = False, shuffle: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, build_spmm_aux: bool = False):
         self.g = g
+        self.build_spmm_aux = build_spmm_aux
         self.num_neighbors = list(num_neighbors)
         self.batch_size = int(batch_size)
         self.replace = replace
@@ -186,8 +187,16 @@ class NeighborLoader:
                  "seed_mask": (np.arange(len(nid)) < len(seeds))}
         for k, v in g.nodes.items():
             ndata[k] = np.asarray(v)[:nn][nid]
+        fixed = None
+        if self.build_spmm_aux:
+            # fixed block count -> identical aux shapes across batches, so
+            # the jitted train step compiles once for the whole epoch
+            from .ops.pallas.spmm import fixed_eblk_bound
+            fixed = fixed_eblk_bound(self.n_pad, self.e_pad)
         return graph(es, er, num_nodes=len(nid), nodes=ndata,
-                     n_pad=self.n_pad, e_pad=self.e_pad)
+                     n_pad=self.n_pad, e_pad=self.e_pad,
+                     build_spmm_aux=self.build_spmm_aux,
+                     spmm_fixed_eblk=fixed)
 
     def _sample_py(self, seeds: np.ndarray):
         local = {int(v): i for i, v in enumerate(seeds)}

@@ -102,3 +102,37 @@ def test_native_sampler_available():
     eset = set(zip(s[:ne][order].tolist(), r[order].tolist()))
     for a, b in zip(nid[es].tolist(), nid[er].tolist()):
         assert (a, b) in eset
+
+
+def test_neighbor_loader_spmm_aux_one_trace():
+    """Loader batches with build_spmm_aux share ONE jit trace (fixed aux
+    shapes) and match the XLA path numerically."""
+    import jax
+    import jax.numpy as jnp
+    from graphneuralnetworks_tpu import ops
+
+    rng = np.random.default_rng(0)
+    g = gnn.rand_graph(300, 1800, seed=4,
+                       nodes={"x": rng.standard_normal((300, 8))
+                              .astype(np.float32)})
+    loader = gnn.NeighborLoader(g, num_neighbors=[4, 3], batch_size=16,
+                                seed=1, build_spmm_aux=True)
+    traces = []
+
+    @jax.jit
+    def step(b, x):
+        traces.append(1)
+        return ops.propagate(ops.copy_xj, b, "sum", xj=x)
+
+    batches = []
+    for i, b in enumerate(loader):
+        assert b.spmm_aux is not None
+        out = step(b, b.x)
+        ref = ops.propagate(ops.copy_xj, b.replace(spmm_aux=None), "sum",
+                            xj=b.x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+        batches.append(b)
+        if i >= 3:
+            break
+    assert len(traces) == 1  # identical shapes -> single compilation
