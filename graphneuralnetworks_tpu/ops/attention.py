@@ -108,7 +108,8 @@ def dot_attention_logits(g: GraphTuple, qi: jax.Array,
     [N, H, O] (or [N, O] for a single implicit head -> returns [E]).
     """
     if (g.spmm_aux is not None and qi.shape[0] == g.n_pad
-            and kj.shape[0] == g.n_pad):
+            and kj.shape[0] == g.n_pad and qi.shape[-1] > 256):
+        # kernel wins only at wide features (see ops/msgpass.py dispatch)
         from .pallas.sddmm import sddmm
         if qi.ndim == 2:
             return sddmm(qi, kj, g.spmm_aux, (g.e_pad,))

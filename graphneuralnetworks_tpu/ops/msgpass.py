@@ -68,10 +68,13 @@ def apply_edges(f: Callable, g: GraphTuple, xi=None, xj=None, e=None):
     if (f is xi_dot_xj and g.spmm_aux is not None and e is None
             and xi is not None and xj is not None
             and not isinstance(xi, Mapping) and not isinstance(xj, Mapping)
-            and xi.ndim == 2 and xj.ndim == 2
+            and xi.ndim == 2 and xj.ndim == 2 and xi.shape[1] > 256
             and xi.shape[0] == g.n_pad and xj.shape[0] == g.n_pad):
         # SDDMM kernel: receiver rows ride the output block (no gather),
         # only the sender side pays a grouped gather (ops/pallas/sddmm.py).
+        # The ungrouping gather is D-independent, so the kernel wins only at
+        # wide features (measured crossover ~256 lanes on v5e at 2M edges);
+        # below that the two plain endpoint gathers are faster.
         from .pallas.sddmm import sddmm
         return sddmm(xi, xj, g.spmm_aux, (g.e_pad,))[:, None]
     if g.spmm_aux is not None:

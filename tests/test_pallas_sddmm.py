@@ -50,12 +50,13 @@ def test_sddmm_gradients_match():
                                    atol=2e-5)
 
 
-def test_apply_edges_xi_dot_xj_dispatch():
+@pytest.mark.parametrize("d", [16, 288])  # kernel engages above 256 lanes
+def test_apply_edges_xi_dot_xj_dispatch(d):
     """apply_edges(xi_dot_xj) rides the kernel and matches the plain path."""
     g = _graph(n=80, e=320, seed=3)
     g_xla = g.replace(spmm_aux=None)
     rng = np.random.default_rng(3)
-    x = jnp.asarray(rng.standard_normal((g.n_pad, 16)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((g.n_pad, d)), jnp.float32)
     out1 = ops.apply_edges(ops.xi_dot_xj, g, xi=x, xj=x)
     out2 = ops.apply_edges(ops.xi_dot_xj, g_xla, xi=x, xj=x)
     m = np.asarray(g.edge_mask)
