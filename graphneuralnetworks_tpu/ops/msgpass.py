@@ -138,6 +138,11 @@ def propagate(f: Callable, g: GraphTuple, aggr, *, xi=None, xj=None, e=None):
             return spmm(g, xj, weighted=True)
         if f in (w_mul_xj, e_mul_xj) and e is not None and e.ndim == 1:
             return spmm(g, xj, edge_weight=e, weighted=True)
+    if f is w_mul_xj and e is None:
+        # the reference's fused path reads the graph's stored weights
+        # (msgpass.jl:223-238 via get_edge_weight); keep the generic
+        # lowering consistent with it and with the Pallas dispatch above
+        e = g.edge_weight
     m = apply_edges(f, g, xi=xi, xj=xj, e=e)
     return aggregate_neighbors(g, aggr, m)
 

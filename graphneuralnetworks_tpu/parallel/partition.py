@@ -51,6 +51,11 @@ class PartitionedGraph:
     edge_mask: jax.Array
     halo_send: jax.Array
     edge_weight: jax.Array | None = None
+    # optional per-shard-stacked (aux_fwd, aux_rev) SpmmAux pair: fwd groups
+    # local edges by local receiver (value rows = the halo buffer), rev by
+    # halo-buffer slot — the local aggregation then rides the Pallas
+    # scatter-matmul inside shard_map (fixed block counts so shards stack).
+    spmm_aux: tuple | None = None
     num_parts: int = dataclasses.field(default=1, metadata=dict(static=True))
     n_local: int = dataclasses.field(default=0, metadata=dict(static=True))
     e_local: int = dataclasses.field(default=0, metadata=dict(static=True))
@@ -77,7 +82,8 @@ def partition_graph(g: GraphTuple, num_parts: int, *,
                     edge_multiple: int = 8,
                     n_local: int | None = None,
                     e_local: int | None = None,
-                    h_max: int | None = None) -> PartitionedGraph:
+                    h_max: int | None = None,
+                    build_spmm_aux: bool = False) -> PartitionedGraph:
     """Partition a graph for `shard_map` message passing.
 
     ``parts``: optional int[num_nodes] node->shard assignment (e.g. from a
@@ -168,7 +174,32 @@ def partition_graph(g: GraphTuple, num_parts: int, *,
             hn = halo_nodes[q][p]
             halo_send[q, p, :len(hn)] = hn
 
+    aux = None
+    if build_spmm_aux:
+        from ..ops.pallas.spmm import build_spmm_aux as _build
+        from ..ops.pallas.spmm import fixed_eblk_bound
+        buf_rows = num_parts * h_max
+        fx_fwd = fixed_eblk_bound(n_local, e_local)
+        fx_rev = fixed_eblk_bound(buf_rows, e_local)
+        fwds, revs = [], []
+        for p in range(num_parts):
+            ne_p = int(edge_mask[p].sum())
+            # local edges inherit the global receiver sort
+            fwds.append(_build(recv_local[p], send_halo_idx[p], ne_p,
+                               n_local, fixed_n_eblk=fx_fwd))
+            order = np.argsort(send_halo_idx[p, :ne_p], kind="stable")
+            rev_r = np.zeros(e_local, np.int32)
+            rev_s = np.zeros(e_local, np.int32)
+            rev_r[:ne_p] = send_halo_idx[p, :ne_p][order]
+            rev_s[:ne_p] = recv_local[p, :ne_p][order]
+            revs.append(_build(rev_r, rev_s, ne_p, buf_rows,
+                               orig_ids=order.astype(np.int32),
+                               fixed_n_eblk=fx_rev))
+        stack = lambda xs: jax.tree.map(lambda *a: jnp.stack(a), *xs)
+        aux = (stack(fwds), stack(revs))
+
     return PartitionedGraph(
+        spmm_aux=aux,
         node_global=jnp.asarray(node_global),
         node_mask=jnp.asarray(node_mask),
         recv_local=jnp.asarray(recv_local),

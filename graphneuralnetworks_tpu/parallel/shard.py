@@ -47,12 +47,26 @@ def halo_propagate_local(x_local: jax.Array, pg_local: PartitionedGraph,
     send = x_local[send_ids]                              # [P, h_max, D]
     recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
     buf = recv.reshape(pg_local.num_parts * pg_local.h_max, -1)
+    w = edge_weight
+    if w is None and pg_local.edge_weight is not None:
+        w = pg_local.edge_weight[0]
+    if pg_local.spmm_aux is not None:
+        # local aggregation on the Pallas scatter-matmul: the grouping's
+        # "senders" are halo-buffer slots, so the whole shard step is
+        # all_to_all + one kernel (ops/pallas/spmm.py)
+        from ..ops.pallas.spmm import spmm_gather_scatter
+        aux_pair = jax.tree.map(lambda a: a[0], pg_local.spmm_aux)
+        w_ext = None
+        if w is not None:
+            w_ext = jnp.concatenate(
+                [jnp.where(pg_local.edge_mask[0], w, 0).astype(buf.dtype),
+                 jnp.zeros((1,), buf.dtype)])
+        return spmm_gather_scatter(buf, w_ext, aux_pair,
+                                   (pg_local.n_local, buf.shape[0]))
     m = buf[pg_local.send_halo_idx[0]]                    # [e_local, D]
     m = jnp.where(pg_local.edge_mask[0][:, None], m, 0)
-    if edge_weight is not None:
-        m = m * edge_weight[:, None]
-    elif pg_local.edge_weight is not None:
-        m = m * pg_local.edge_weight[0][:, None]
+    if w is not None:
+        m = m * w[:, None]
     return segment_sum(m, pg_local.recv_local[0], pg_local.n_local)
 
 
@@ -68,8 +82,11 @@ def make_sharded_propagate(mesh: Mesh, pg: PartitionedGraph,
     pass the same ``pg`` (its array leaves are sharded on ``axis``)."""
     specs = shard_partitioned(pg, axis)
 
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # annotation, and every output here is trivially sharded on `axis`
     @functools.partial(jax.shard_map, mesh=mesh,
-                       in_specs=(P(axis), specs), out_specs=P(axis))
+                       in_specs=(P(axis), specs), out_specs=P(axis),
+                       check_vma=False)
     def run(x_stacked, pg_local):
         y = halo_propagate_local(x_stacked[0], pg_local, axis)
         return y[None]
