@@ -153,7 +153,7 @@ class GCNConv(GNNLayer):
         W = self.weight.value if conv_weight is None else conv_weight
         din, dout = W.shape
         if isinstance(x, (tuple, list)):
-            return self._bipartite(g, x, W, norm_fn)
+            return self._bipartite(g, x, W, norm_fn, edge_weight)
         if dout < din:
             x = x @ W
         c = _gcn_norm(g, edge_weight=edge_weight,
@@ -169,10 +169,13 @@ class GCNConv(GNNLayer):
             x = x + self.bias.value
         return self.act(x) if self.act is not None else x
 
-    def _bipartite(self, g: GraphTuple, x, W, norm_fn):
-        """Hetero-relation path (GNNlib conv.jl:45-50, 68-70): separate
-        in/out-degree norms, weight applied after propagation, no virtual
-        self-loop (src and dst are different node sets)."""
+    def _bipartite(self, g: GraphTuple, x, W, norm_fn, edge_weight=None):
+        """Hetero-relation path (GNNlib conv.jl:45-70): separate *unweighted*
+        in/out-degree norms (reference hetero degree passes edge_weight=
+        nothing, gnnheterograph/query.jl:57-67), weight applied after
+        propagation, no virtual self-loop (src and dst are different node
+        sets). The message itself still honors ``edge_weight``/
+        ``use_edge_weight`` (conv.jl:61-67 — not gated on homogeneity)."""
         xj, xi = _expand_srcdst(x)
         ones = jnp.ones((g.e_pad,), xj.dtype)
         dout_deg = segment_sum(ones, g.senders, xj.shape[0],
@@ -183,7 +186,13 @@ class GCNConv(GNNLayer):
               lambda d: jnp.where(d > 0,
                                   jax.lax.rsqrt(jnp.maximum(d, 1e-12)), 0.0))
         cout, cin = nf(dout_deg), nf(din_deg)
-        m = propagate(copy_xj, g, "sum", xj=xj * cout[:, None])
+        xjc = xj * cout[:, None]
+        if edge_weight is not None:
+            m = propagate(e_mul_xj, g, "sum", xj=xjc, e=edge_weight)
+        elif self.use_edge_weight and g.edge_weight is not None:
+            m = propagate(w_mul_xj, g, "sum", xj=xjc, e=g.edge_weight)
+        else:
+            m = propagate(copy_xj, g, "sum", xj=xjc)
         m = m[: xi.shape[0]] * cin[:, None]
         out = m @ W
         if self.bias is not None:

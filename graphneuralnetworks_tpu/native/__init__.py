@@ -48,7 +48,7 @@ def _load():
             fn.argtypes = [i64p, i64p, i32p, i64p, ctypes.c_int64, i64p,
                            ctypes.c_int64, ctypes.c_int32, ctypes.c_uint64,
                            ctypes.c_int64, ctypes.c_int64,
-                           i64p, i32p, i32p, i64p, i64p]
+                           i64p, i32p, i32p, i64p, i64p, i64p]
             _lib = lib
         except Exception:
             _failed = True
@@ -87,6 +87,7 @@ def sample_layers(order: np.ndarray, ptr: np.ndarray, seeds: np.ndarray,
     nid = np.empty(cap_nodes, np.int64)
     es = np.empty(cap_edges, np.int32)
     er = np.empty(cap_edges, np.int32)
+    eid = np.empty(cap_edges, np.int64)
     n_nodes = np.zeros(1, np.int64)
     n_edges = np.zeros(1, np.int64)
 
@@ -102,8 +103,8 @@ def sample_layers(order: np.ndarray, ptr: np.ndarray, seeds: np.ndarray,
         ctypes.c_int64(len(fanouts)), ctypes.c_int32(int(replace)),
         ctypes.c_uint64(seed & 0xFFFFFFFFFFFFFFFF),
         ctypes.c_int64(cap_nodes), ctypes.c_int64(cap_edges),
-        p64(nid), p32(es), p32(er), p64(n_nodes), p64(n_edges))
+        p64(nid), p32(es), p32(er), p64(eid), p64(n_nodes), p64(n_edges))
     if rc != 0:
         raise RuntimeError(f"native sampler overflow/err rc={rc}")
     nn, ne = int(n_nodes[0]), int(n_edges[0])
-    return nid[:nn], es[:ne], er[:ne]
+    return nid[:nn], es[:ne], er[:ne], eid[:ne]

@@ -39,13 +39,15 @@ extern "C" {
 // Outputs (caller-allocated to capacity):
 //   nid_out[cap_nodes]          : unique node ids, seeds first
 //   es_out / er_out[cap_edges]  : edges in local ids
+//   eid_out[cap_edges]          : global (original) edge id per sampled edge
+//                                 (the reference's EID, sampling.jl:72-75)
 // Returns 0 on success; writes actual counts to n_nodes_out / n_edges_out.
 int64_t gnn_sample_layers(
     const int64_t* order, const int64_t* ptr, const int32_t* senders,
     const int64_t* seeds, int64_t n_seeds, const int64_t* fanouts,
     int64_t n_layers, int32_t replace, uint64_t seed,
     int64_t cap_nodes, int64_t cap_edges,
-    int64_t* nid_out, int32_t* es_out, int32_t* er_out,
+    int64_t* nid_out, int32_t* es_out, int32_t* er_out, int64_t* eid_out,
     int64_t* n_nodes_out, int64_t* n_edges_out) {
   XorShift rng(seed);
   std::unordered_map<int64_t, int32_t> local;
@@ -107,6 +109,7 @@ int64_t gnn_sample_layers(
         if (n_edges >= cap_edges) return -2;
         es_out[n_edges] = u_loc;
         er_out[n_edges] = v_loc;
+        eid_out[n_edges] = e;
         ++n_edges;
       }
     }

@@ -152,8 +152,9 @@ def segment_reduce(aggr, data, segment_ids, num_segments, *, mask=None,
     try:
         fn = AGGREGATIONS[str(aggr)]
     except KeyError:
+        # NB: the builtin `sorted` is shadowed by the kwarg here.
         raise ValueError(f"unknown aggregation {aggr!r}; "
-                         f"expected one of {sorted(AGGREGATIONS)}") from None
+                         f"expected one of {list(AGGREGATIONS)}") from None
     return fn(data, segment_ids, num_segments, mask=mask, sorted=sorted)
 
 

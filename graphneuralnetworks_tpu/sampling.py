@@ -173,20 +173,28 @@ class NeighborLoader:
         except Exception:
             _native_sample = None
         if _native_sample is not None:
-            nid, es, er = _native_sample(
+            nid, es, er, eid = _native_sample(
                 self._order, self._ptr, seeds, self.num_neighbors,
                 self.replace, int(self._rng.integers(0, 2 ** 31 - 1)),
                 self._s)
         else:
-            nid, es, er = self._sample_py(seeds)
+            nid, es, er, eid = self._sample_py(seeds)
         # nid: original node ids (seeds first, unique); es/er: edges in
-        # *local* ids
+        # *local* ids; eid: original edge ids (the reference's EID)
         g = self.g
         nn = int(g.num_nodes)
+        ne = int(g.num_edges)
         ndata = {"NID": nid.astype(np.int32),
                  "seed_mask": (np.arange(len(nid)) < len(seeds))}
         for k, v in g.nodes.items():
             ndata[k] = np.asarray(v)[:nn][nid]
+        # edge data rides along: EID mapping, per-edge features, weights
+        # (sampling.jl:72-75 keeps EID; weighted GraphSAGE needs the weights)
+        edata = {"EID": eid.astype(np.int32)}
+        for k, v in g.edges.items():
+            edata[k] = np.asarray(v)[:ne][eid]
+        w = g.edge_weight
+        w2 = None if w is None else np.asarray(w)[:ne][eid]
         fixed = None
         if self.build_spmm_aux:
             # fixed block count -> identical aux shapes across batches, so
@@ -194,6 +202,7 @@ class NeighborLoader:
             from .ops.pallas.spmm import fixed_eblk_bound
             fixed = fixed_eblk_bound(self.n_pad, self.e_pad)
         return graph(es, er, num_nodes=len(nid), nodes=ndata,
+                     edges=edata, edge_weight=w2,
                      n_pad=self.n_pad, e_pad=self.e_pad,
                      build_spmm_aux=self.build_spmm_aux,
                      spmm_fixed_eblk=fixed)
@@ -201,7 +210,7 @@ class NeighborLoader:
     def _sample_py(self, seeds: np.ndarray):
         local = {int(v): i for i, v in enumerate(seeds)}
         nid = list(seeds)
-        es, er = [], []
+        es, er, eid = [], [], []
         frontier = list(seeds)
         for k in self.num_neighbors:
             nxt = []
@@ -223,6 +232,7 @@ class NeighborLoader:
                         nxt.append(u)
                     es.append(local[u])
                     er.append(local[int(v)])
+                    eid.append(int(e))
             frontier = nxt
         return (np.asarray(nid, np.int64), np.asarray(es, np.int32),
-                np.asarray(er, np.int32))
+                np.asarray(er, np.int32), np.asarray(eid, np.int64))

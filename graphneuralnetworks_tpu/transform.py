@@ -159,21 +159,25 @@ def remove_multi_edges(g: GraphTuple, *, aggr: str = "sum") -> GraphTuple:
     def _agg(v):
         if aggr == "first":
             return v[first_idx]
-        out = np.zeros((len(uniq),) + v.shape[1:], dtype=np.float64)
-        if aggr in ("sum", "mean"):
-            np.add.at(out, inv, v)
-            if aggr == "mean":
-                cnt = np.bincount(inv, minlength=len(uniq)).astype(np.float64)
-                out /= cnt.reshape((-1,) + (1,) * (v.ndim - 1))
-        elif aggr == "max":
-            out[:] = -np.inf
-            np.maximum.at(out, inv, v)
-        elif aggr == "min":
-            out[:] = np.inf
-            np.minimum.at(out, inv, v)
-        else:
+        if aggr in ("max", "min"):
+            # Seed with the first occurrence per unique edge instead of
+            # +-inf fill: keeps integer/bool dtypes exact (inf -> int cast
+            # is undefined) and never leaves a fill value behind.
+            out = v[first_idx].copy()
+            (np.maximum if aggr == "max" else np.minimum).at(out, inv, v)
+            return out
+        if aggr not in ("sum", "mean"):
             raise ValueError(f"unknown aggr {aggr!r}")
-        return out.astype(v.dtype)
+        is_int = v.dtype == np.bool_ or np.issubdtype(v.dtype, np.integer)
+        acc = np.zeros((len(uniq),) + v.shape[1:],
+                       dtype=np.int64 if is_int else np.float64)
+        np.add.at(acc, inv, v)
+        if aggr == "mean":
+            cnt = np.bincount(inv, minlength=len(uniq))
+            accf = acc / cnt.reshape((-1,) + (1,) * (v.ndim - 1))
+            # integer features: round-to-nearest, keep the dtype
+            return (np.rint(accf) if is_int else accf).astype(v.dtype)
+        return acc.astype(v.dtype)
 
     h.edges = {k: _agg(v) for k, v in h.edges.items()}
     if h.w is not None:
@@ -400,9 +404,18 @@ def getgraph(g: GraphTuple, i: int | Sequence[int], *, n_pad=None,
 def negative_sample(g: GraphTuple, *, num_neg_edges: int | None = None,
                     bidirected: bool | None = None,
                     rng: np.random.Generator | None = None) -> GraphTuple:
-    """Sample non-edges (transform.jl:890-929): encode existing edges as
-    linear ids, rejection-sample until enough negatives. Host-side, as in the
-    reference (which round-trips GPU->CPU for this)."""
+    """Sample non-edges (transform.jl:891-929): rejection-sample candidate
+    pairs against the positive-edge set until satisfied. Host-side, as in the
+    reference (which round-trips GPU->CPU for this).
+
+    Bidirected semantics follow the reference: the request is halved, that
+    many *unordered* negative pairs are drawn, then mirrored ``[s;t],[t;s]``
+    — so reverse pairs always stay together and there is no leakage in
+    either direction. If the graph has fewer non-edges than requested, all
+    of them are returned and a warning is emitted (instead of a silent
+    shortfall)."""
+    import warnings
+
     rng = rng or np.random.default_rng()
     h = _unpack(g)
     n = h.nn
@@ -411,31 +424,52 @@ def negative_sample(g: GraphTuple, *, num_neg_edges: int | None = None,
         bidirected = bool(np.asarray(_is_bidirected_np(h)))
     pos = set((h.s.astype(np.int64) * n + h.r).tolist())
     pos |= {i * n + i for i in range(n)}  # exclude self-loops
+
+    if bidirected:
+        # canonical (a<b) pairs blocked if EITHER direction is positive
+        blocked = {min(k // n, k % n) * n + max(k // n, k % n) for k in pos}
+        avail = n * (n - 1) // 2 - sum(1 for k in blocked
+                                       if k // n != k % n)
+        n_pairs = want // 2
+        target = min(n_pairs, avail)
+    else:
+        avail = n * n - len(pos)
+        target = min(want, avail)
+    if target < (want // 2 if bidirected else want):
+        warnings.warn(
+            f"negative_sample: only {target * (2 if bidirected else 1)} "
+            f"non-edges exist; requested {want}", stacklevel=2)
+
     out_s, out_r = [], []
-    seen = set()
-    max_tries = 50
-    for _ in range(max_tries):
-        need = want - len(out_s)
-        if need <= 0:
-            break
-        cand = rng.integers(0, n, (2, need * 2))
-        for a, b in zip(cand[0], cand[1]):
-            if len(out_s) >= want:
+    seen: set[int] = set()
+    while len(out_s) < target:
+        need = target - len(out_s)
+        cand = rng.integers(0, n, (2, max(2 * need, 32)))
+        for a, b in zip(cand[0].tolist(), cand[1].tolist()):
+            if len(out_s) >= target:
                 break
-            key = int(a) * n + int(b)
-            kr = int(b) * n + int(a)
-            if key in pos or key in seen or (bidirected and kr in seen):
-                continue
-            seen.add(key)
-            out_s.append(int(a))
-            out_r.append(int(b))
             if bidirected:
-                out_s.append(int(b))
-                out_r.append(int(a))
-                seen.add(kr)
-    s = np.asarray(out_s[:want], np.int32)
-    r = np.asarray(out_r[:want], np.int32)
-    return graph(s, r, num_nodes=n)
+                if a == b:
+                    continue
+                lo, hi = (a, b) if a < b else (b, a)
+                key = lo * n + hi
+                if key in seen or key in blocked:
+                    continue
+                seen.add(key)
+                out_s.append(lo)
+                out_r.append(hi)
+            else:
+                key = a * n + b
+                if key in seen or key in pos:
+                    continue
+                seen.add(key)
+                out_s.append(a)
+                out_r.append(b)
+    s = np.asarray(out_s, np.int64)
+    r = np.asarray(out_r, np.int64)
+    if bidirected:  # mirror: [s;t], [t;s] (transform.jl:925-927)
+        s, r = np.concatenate([s, r]), np.concatenate([r, s])
+    return graph(s.astype(np.int32), r.astype(np.int32), num_nodes=n)
 
 
 def _is_bidirected_np(h: _Host) -> bool:

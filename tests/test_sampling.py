@@ -94,14 +94,18 @@ def test_native_sampler_available():
     s = np.asarray(g.senders)
     order = np.argsort(r, kind="stable")
     ptr = np.concatenate([[0], np.cumsum(np.bincount(r, minlength=100))])
-    nid, es, er = native.sample_layers(order, ptr, np.arange(8), [4, 3],
-                                       False, 42, s[:ne])
+    nid, es, er, eid = native.sample_layers(order, ptr, np.arange(8), [4, 3],
+                                            False, 42, s[:ne])
     assert len(nid) >= 8
     assert es.max(initial=0) < len(nid)
     # sampled edges exist in g
     eset = set(zip(s[:ne][order].tolist(), r[order].tolist()))
     for a, b in zip(nid[es].tolist(), nid[er].tolist()):
         assert (a, b) in eset
+    # EID maps each sampled edge to its original (global) edge
+    gr = np.asarray(g.receivers)[:ne]
+    np.testing.assert_array_equal(nid[es], s[:ne][eid])
+    np.testing.assert_array_equal(nid[er], gr[eid])
 
 
 def test_neighbor_loader_spmm_aux_one_trace():
