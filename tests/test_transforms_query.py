@@ -251,3 +251,43 @@ def test_graphs_parity_queries():
     assert not bool(gnn.has_isolated_nodes(g2))
     assert gnn.is_directed(g) is True
     assert gnn.get_graph_type(g) == "coo"
+
+
+def test_laplacian_lambda_max_per_graph_batch():
+    """Batched λmax returns per-graph values matching numpy eigmax on each
+    block (reference: per-graph loop at query.jl:598-610)."""
+    rng = np.random.default_rng(7)
+    gs = []
+    for n, e in [(6, 14), (9, 24), (5, 8)]:
+        gs.append(gnn.rand_graph(n, e, seed=int(rng.integers(1000)),
+                                 bidirected=True))
+    gb = gnn.batch(gs)
+    lam = np.asarray(gnn.laplacian_lambda_max(gb, iters=200))
+    assert lam.shape == (3,)
+    for i, g in enumerate(gs):
+        NL = np.asarray(gnn.normalized_laplacian(g))
+        n = int(g.num_nodes)
+        expect = np.linalg.eigvalsh(NL[:n, :n]).max()
+        np.testing.assert_allclose(lam[i], expect, rtol=1e-4, atol=1e-4)
+
+
+def test_chebconv_batched_matches_per_graph():
+    """ChebConv on a batch == ChebConv per graph (per-block λmax scaling)."""
+    from flax import nnx
+    from graphneuralnetworks_tpu import models as M
+    rng = np.random.default_rng(11)
+    gs = []
+    for n, e in [(6, 14), (10, 26)]:
+        x = rng.normal(size=(n, 4)).astype(np.float32)
+        gs.append(gnn.rand_graph(n, e, seed=int(rng.integers(1000)),
+                                 bidirected=True, nodes={"x": x}))
+    layer = M.ChebConv(4, 5, k=3, rngs=nnx.Rngs(0))
+    gb = gnn.batch(gs)
+    out_b = np.asarray(layer(gb, gb.x))
+    off = 0
+    for g in gs:
+        n = int(g.num_nodes)
+        out_1 = np.asarray(layer(g, g.x))[:n]
+        np.testing.assert_allclose(out_b[off:off + n], out_1,
+                                   rtol=2e-3, atol=2e-3)
+        off += n
