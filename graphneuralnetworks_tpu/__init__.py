@@ -32,7 +32,7 @@ from .generate import (rand_graph, knn_graph, radius_graph,
                        rand_temporal_radius_graph,
                        rand_temporal_hyperbolic_graph)
 from .utils import (edge_encoding, edge_decoding, color_refinement,
-                    check_num_nodes, check_num_edges)
+                    check_num_nodes, check_num_edges, normalize_graphdata)
 from .heterograph import (HeteroGraphTuple, Relation, heterograph,
                           rand_heterograph, rand_bipartite_heterograph,
                           batch_hetero, add_self_loops_hetero,

@@ -51,6 +51,14 @@ def rand_graph(num_nodes: int, num_edges: int, *, bidirected: bool = True,
                          self_loops=False)
     if bidirected:
         s, r = np.concatenate([s, r]), np.concatenate([r, s])
+        # features given once per undirected pair are duplicated for both
+        # directions (normalize_graphdata's duplicate_if_needed semantics,
+        # GNNGraphs/src/utils.jl:152-161)
+        from .utils import normalize_graphdata
+        edges = normalize_graphdata(edges, default_name="e", n=len(s),
+                                    duplicate_if_needed=True) or None
+        if edge_weight is not None and len(np.asarray(edge_weight)) == m:
+            edge_weight = np.concatenate([edge_weight, edge_weight])
     return graph(s, r, num_nodes=n, nodes=nodes, edges=edges,
                  edge_weight=edge_weight, n_pad=n_pad, e_pad=e_pad,
                  **graph_kw)

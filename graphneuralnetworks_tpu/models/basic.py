@@ -11,6 +11,8 @@ frontend, GNNLux/src/layers/basic.jl) with features-last arrays [N_pad, D].
 
 from __future__ import annotations
 
+import inspect
+
 import jax.numpy as jnp
 from flax import nnx
 
@@ -64,37 +66,81 @@ class GNNChain(nnx.Module):
     def __len__(self):
         return len(self.layers)
 
-    def __call__(self, g: GraphTuple, x=None):
+    def __call__(self, g: GraphTuple, x=None, **kw):
+        """Forward; extra kwargs (e.g. ``deterministic=False``) are threaded
+        to every layer whose signature accepts them — the analog of the
+        reference's `_applylayer` passing layer-specific args through
+        (basic.jl:136-150)."""
         if x is None:
             x = g.x
         for layer in self.layers:
-            x = _apply_layer(layer, g, x)
+            x = _apply_layer(layer, g, x, **kw)
         return x
 
 
-def _apply_layer(layer, g, x):
-    if isinstance(layer, (GNNLayer, GNNChain)):
-        return layer(g, x)
+def _filter_kw(fn, kw: dict) -> dict:
+    """Subset of ``kw`` that ``fn`` accepts (by name or **kwargs)."""
+    if not kw:
+        return kw
+    try:
+        sig = inspect.signature(fn)
+    except (TypeError, ValueError):
+        return {}
+    params = sig.parameters
+    if any(p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()):
+        return kw
+    return {k: v for k, v in kw.items() if k in params}
+
+
+def _apply_layer(layer, g, x, **kw):
+    if isinstance(layer, GNNChain):
+        return layer(g, x, **kw)
+    if isinstance(layer, GNNLayer):
+        return layer(g, x, **_filter_kw(layer.__call__, kw))
     # Parallel-style tuple of branches concatenated on features
     if isinstance(layer, (tuple, list)):
-        return jnp.concatenate([_apply_layer(b, g, x) for b in layer], -1)
-    return layer(x)
+        return jnp.concatenate([_apply_layer(b, g, x, **kw) for b in layer],
+                               -1)
+    return layer(x, **_filter_kw(layer, kw))
 
 
 class WithGraph(nnx.Module):
     """Close a model over a fixed graph: ``WithGraph(model, g)(x)``.
 
-    Reference: basic.jl:40-52 (`traingraph` controls whether graph-attached
-    features are trainable — here the graph is held as static data).
-    """
+    Reference: basic.jl:40-52. ``traingraph=True`` lifts the graph's feature
+    arrays into trainable parameters (`Flux.trainable(l::WithGraph)` includes
+    `l.g` when traingraph, basic.jl:51); the index structure stays
+    non-trainable data either way. Calling with an explicit graph
+    (``wg(g2, x2)``) bypasses the stored one (basic.jl:52)."""
 
-    def __init__(self, model, g: GraphTuple):
+    def __init__(self, model, g: GraphTuple, *, traingraph: bool = False):
         self.model = model
-        # Stored as plain attribute: the graph rides along as data, not params.
-        self.g = nnx.data(g)
+        self.traingraph = traingraph
+        if traingraph:
+            # feature arrays become Params; the structural skeleton is data
+            self._nfeat = nnx.Dict(
+                {k: nnx.Param(v) for k, v in g.nodes.items()})
+            self._efeat = nnx.Dict(
+                {k: nnx.Param(v) for k, v in g.edges.items()})
+            self._gfeat = nnx.Dict(
+                {k: nnx.Param(v) for k, v in g.globals_.items()})
+            self.g = nnx.data(g.replace(nodes={}, edges={}, globals_={}))
+        else:
+            # Stored as plain attribute: the graph rides along as data.
+            self.g = nnx.data(g)
+
+    def _graph(self) -> GraphTuple:
+        if not self.traingraph:
+            return self.g
+        return self.g.replace(
+            nodes={k: v[...] for k, v in self._nfeat.items()},
+            edges={k: v[...] for k, v in self._efeat.items()},
+            globals_={k: v[...] for k, v in self._gfeat.items()})
 
     def __call__(self, x=None, *args, **kw):
-        return self.model(self.g, x, *args, **kw)
+        if isinstance(x, GraphTuple):  # explicit graph overrides stored one
+            return self.model(x, *args, **kw)
+        return self.model(self._graph(), x, *args, **kw)
 
 
 class DotDecoder(GNNLayer):

@@ -150,7 +150,7 @@ class GCNConv(GNNLayer):
                  norm_fn=None, conv_weight=None):
         if x is None:
             x = g.x
-        W = self.weight.value if conv_weight is None else conv_weight
+        W = self.weight[...] if conv_weight is None else conv_weight
         din, dout = W.shape
         if isinstance(x, (tuple, list)):
             return self._bipartite(g, x, W, norm_fn, edge_weight)
@@ -166,7 +166,7 @@ class GCNConv(GNNLayer):
         if dout >= din:
             x = x @ W
         if self.bias is not None:
-            x = x + self.bias.value
+            x = x + self.bias[...]
         return self.act(x) if self.act is not None else x
 
     def _bipartite(self, g: GraphTuple, x, W, norm_fn, edge_weight=None):
@@ -196,7 +196,7 @@ class GCNConv(GNNLayer):
         m = m[: xi.shape[0]] * cin[:, None]
         out = m @ W
         if self.bias is not None:
-            out = out + self.bias.value
+            out = out + self.bias[...]
         return self.act(out) if self.act is not None else out
 
 
@@ -219,7 +219,7 @@ class ChebConv(GNNLayer):
         if x is None:
             x = g.x
         L = scaled_laplacian(g, dtype=x.dtype)
-        W = self.weight.value
+        W = self.weight[...]
         z_prev = x
         z = L @ x
         y = z_prev @ W[0]
@@ -228,7 +228,7 @@ class ChebConv(GNNLayer):
         for k in range(2, self.k):
             z, z_prev = 2.0 * (L @ z) - z_prev, z
             y = y + z @ W[k]
-        return y + self.bias.value if self.bias is not None else y
+        return y + self.bias[...] if self.bias is not None else y
 
 
 class GraphConv(GNNLayer):
@@ -253,9 +253,9 @@ class GraphConv(GNNLayer):
         m = propagate(copy_xj, g, self.aggr, xj=xj)
         if m.shape[0] != xi.shape[0]:
             m = m[: xi.shape[0]]
-        out = xi @ self.weight1.value + m @ self.weight2.value
+        out = xi @ self.weight1[...] + m @ self.weight2[...]
         if self.bias is not None:
-            out = out + self.bias.value
+            out = out + self.bias[...]
         return self.act(out) if self.act is not None else out
 
 
@@ -324,7 +324,7 @@ class GATConv(GNNLayer):
         # (GNNlib conv.jl:152-167: leakyrelu(a' [Wxi; Wxj; We])), so the
         # ``a`` contraction happens at NODE level and only the [E, H]
         # scalar projections get gathered — never the [E, H, O] features.
-        a = self.a.value
+        a = self.a[...]
         pi = jnp.einsum("nhf,fh->nh", Wxi, a[:O])         # [N_dst, H]
         pj = jnp.einsum("nhf,fh->nh", Wxj, a[O:2 * O])    # [N_src, H]
         if self.add_self_loops:
@@ -359,7 +359,7 @@ class GATConv(GNNLayer):
                                       node_values=True)
         out = (out.reshape(-1, H * O) if self.concat else out.mean(axis=1))
         if self.bias is not None:
-            out = out + self.bias.value
+            out = out + self.bias[...]
         return self.act(out) if self.act is not None else out
 
 
@@ -396,7 +396,7 @@ class GATv2Conv(GNNLayer):
 
     def _logits(self, wx):
         z = jax.nn.leaky_relu(wx, self.negative_slope)
-        return jnp.einsum("...hf,fh->...h", z, self.a.value)
+        return jnp.einsum("...hf,fh->...h", z, self.a[...])
 
     def __call__(self, g: GraphTuple, x=None, e=None, *,
                  deterministic: bool = True):
@@ -418,7 +418,7 @@ class GATv2Conv(GNNLayer):
                                     self.add_self_loops)
         if e is None and self.dense_e is None:
             # fused path: one grouped gather for the whole layer
-            out = gatv2_attention(g, Wxi, Wxj, self.a.value,
+            out = gatv2_attention(g, Wxi, Wxj, self.a[...],
                                   self.negative_slope,
                                   self_logits=self_logits,
                                   self_values=self_values,
@@ -438,7 +438,7 @@ class GATv2Conv(GNNLayer):
                                       node_values=True)
         out = (out.reshape(-1, H * O) if self.concat else out.mean(axis=1))
         if self.bias is not None:
-            out = out + self.bias.value
+            out = out + self.bias[...]
         return self.act(out) if self.act is not None else out
 
 
@@ -458,7 +458,7 @@ class AGNNConv(GNNLayer):
     def __call__(self, g: GraphTuple, x=None):
         if x is None:
             x = g.x
-        beta = self.beta.value if isinstance(self.beta, nnx.Param) else self.beta
+        beta = self.beta[...] if isinstance(self.beta, nnx.Param) else self.beta
         norm = jnp.sqrt(jnp.maximum(jnp.sum(x * x, -1, keepdims=True), 1e-24))
         xn = x / norm
         if self.add_self_loops:
@@ -599,7 +599,7 @@ class GatedGraphConv(GNNLayer):
             x = jnp.pad(x, ((0, 0), (0, self.out_features - din)))
         h = x
         for i in range(self.num_layers):
-            m = h @ self.weight.value[i]
+            m = h @ self.weight[...][i]
             m = propagate(copy_xj, g, self.aggr, xj=m)
             h, _ = self.gru(h, m)
         return h
@@ -681,9 +681,9 @@ class NNConv(GNNLayer):
             return jnp.einsum("ei,eio->eo", xj_e, W)
 
         m = propagate(msg, g, self.aggr, xj=x, e=e)
-        out = x @ self.weight.value + m
+        out = x @ self.weight[...] + m
         if self.bias is not None:
-            out = out + self.bias.value
+            out = out + self.bias[...]
         return self.act(out) if self.act is not None else out
 
 
@@ -709,9 +709,9 @@ class SAGEConv(GNNLayer):
         m = propagate(copy_xj, g, self.aggr, xj=xj)
         if m.shape[0] != xi.shape[0]:
             m = m[: xi.shape[0]]
-        out = jnp.concatenate([xi, m], -1) @ self.weight.value
+        out = jnp.concatenate([xi, m], -1) @ self.weight[...]
         if self.bias is not None:
-            out = out + self.bias.value
+            out = out + self.bias[...]
         return self.act(out) if self.act is not None else out
 
 
@@ -736,9 +736,9 @@ class ResGatedGraphConv(GNNLayer):
         if x is None:
             x = g.x
         xj, xi = _expand_srcdst(x)
-        Ax = xi @ self.A.value
-        Bx = xj @ self.B.value
-        Vx = xj @ self.V.value
+        Ax = xi @ self.A[...]
+        Bx = xj @ self.B[...]
+        Vx = xj @ self.V[...]
 
         def msg(xi_e, xj_e, e):
             return jax.nn.sigmoid(xi_e["Ax"] + xj_e["Bx"]) * xj_e["Vx"]
@@ -746,9 +746,9 @@ class ResGatedGraphConv(GNNLayer):
         m = propagate(msg, g, "sum", xi={"Ax": Ax}, xj={"Bx": Bx, "Vx": Vx})
         if m.shape[0] != xi.shape[0]:
             m = m[: xi.shape[0]]
-        out = xi @ self.U.value + m
+        out = xi @ self.U[...] + m
         if self.bias is not None:
-            out = out + self.bias.value
+            out = out + self.bias[...]
         return self.act(out) if self.act is not None else out
 
 
@@ -828,15 +828,19 @@ class GMMConv(GNNLayer):
     """Gaussian mixture model conv (Monti et al., MoNet).
 
     Reference: conv.jl:1111-1148; math GNNlib conv.jl:372-401. Note: we use
-    the paper's ``exp(-1/2 ...)`` Gaussian kernel; the reference computes
-    ``exp(+1/2 ...)`` (conv.jl:381-383), which appears to be a sign slip —
-    the test suite there only checks shapes/gradients.
+    the paper's ``exp(-1/2 ...)`` Gaussian kernel by default; the reference
+    computes ``exp(+1/2 ...)`` (conv.jl:381-383), which appears to be a sign
+    slip — the test suite there only checks shapes/gradients. Pass
+    ``reference_exact=True`` to reproduce the reference's ``exp(+...)``
+    bit-for-bit (for allclose-vs-reference validation).
     """
 
     def __init__(self, in_features: int, out_features: int,
                  act: Callable = None, *, edge_features: int = 1, K: int = 1,
                  residual: bool = False, use_bias: bool = True,
+                 reference_exact: bool = False,
                  rngs: nnx.Rngs):
+        self.reference_exact = reference_exact
         self.mu = _init(rngs, (K, edge_features))
         self.sigma_inv = _init(rngs, (K, edge_features))
         self.bias = _bias((out_features,)) if use_bias else None
@@ -855,14 +859,16 @@ class GMMConv(GNNLayer):
             e = g.e
         K, O = self.K, self.out_features
         # w_k(e) = exp(-1/2 sum_d ((e_d - mu_kd) * sigma_inv_kd)^2): [E, K]
-        diff = e[:, None, :] - self.mu.value[None, :, :]
-        w = jnp.exp(-0.5 * jnp.sum(
-            (diff * self.sigma_inv.value[None, :, :]) ** 2, -1))
+        # (reference_exact flips the exponent sign, GNNlib conv.jl:381-383)
+        diff = e[:, None, :] - self.mu[...][None, :, :]
+        sign = 0.5 if self.reference_exact else -0.5
+        w = jnp.exp(sign * jnp.sum(
+            (diff * self.sigma_inv[...][None, :, :]) ** 2, -1))
         xj = self.dense_x(x).reshape(-1, K, O)
         m = propagate(e_mul_xj, g, "mean", xj=xj, e=w)
         m = m.mean(axis=1)                                 # mean over K
         if self.bias is not None:
-            m = m + self.bias.value
+            m = m + self.bias[...]
         if self.act is not None:
             m = self.act(m)
         if self.residual and x.shape[-1] == m.shape[-1]:
@@ -892,7 +898,7 @@ class SGConv(GNNLayer):
     def __call__(self, g: GraphTuple, x=None, edge_weight=None):
         if x is None:
             x = g.x
-        W = self.weight.value
+        W = self.weight[...]
         din, dout = W.shape
         if dout < din:
             x = x @ W
@@ -906,7 +912,7 @@ class SGConv(GNNLayer):
                                add_self_loops=self.add_self_loops)
         if dout >= din:
             x = x @ W
-        return x + self.bias.value if self.bias is not None else x
+        return x + self.bias[...] if self.bias is not None else x
 
 
 class TAGConv(GNNLayer):
@@ -932,7 +938,7 @@ class TAGConv(GNNLayer):
                       use_edge_weight=self.use_edge_weight,
                       add_self_loops=self.add_self_loops, norm_fn=None,
                       dtype=x.dtype)
-        W = self.weight.value
+        W = self.weight[...]
         sum_pow = None
         sum_total = None
         for _ in range(self.k):
@@ -943,7 +949,7 @@ class TAGConv(GNNLayer):
             inc = sum_pow @ W
             sum_total = inc if sum_total is None else sum_total + inc
         if self.bias is not None:
-            sum_total = sum_total + self.bias.value
+            sum_total = sum_total + self.bias[...]
         return sum_total
 
 
@@ -951,25 +957,27 @@ class DConv(GNNLayer):
     """Diffusion conv (Li et al., DCRNN).
 
     Reference: conv.jl:1574-1595; math GNNlib conv.jl:696-725. We use the
-    standard diffusion transition (inverse out/in degree); the reference
-    multiplies by the raw degree (conv.jl:705-712), which diverges for dense
-    graphs — its tests only check shapes/gradients.
+    standard diffusion transition (inverse out/in degree) by default; the
+    reference multiplies by the raw degree (conv.jl:705-712), which diverges
+    for dense graphs — its tests only check shapes/gradients. Pass
+    ``reference_exact=True`` to reproduce the reference's raw-degree multiply
+    (including its loop bounds, which re-apply the order-2 weights) exactly.
     """
 
     def __init__(self, in_features: int, out_features: int, k: int, *,
-                 use_bias: bool = True, rngs: nnx.Rngs):
+                 use_bias: bool = True, reference_exact: bool = False,
+                 rngs: nnx.Rngs):
         self.weights = nnx.Param(glorot_uniform()(
             rngs.params(), (2, k, in_features, out_features), jnp.float32))
         self.bias = _bias((out_features,)) if use_bias else None
         self.k = k
+        self.reference_exact = reference_exact
 
     def __call__(self, g: GraphTuple, x=None):
         if x is None:
             x = g.x
-        W = self.weights.value
+        W = self.weights[...]
         gt = g.reverse()
-        d_out = jnp.maximum(degree(g, dir="out", dtype=x.dtype), 1.0)
-        d_in = jnp.maximum(degree(g, dir="in", dtype=x.dtype), 1.0)
         ew = g.edge_weight
 
         def prop(graph, xj):
@@ -977,6 +985,24 @@ class DConv(GNNLayer):
 
         h = x @ W[0, 0] + x @ W[1, 0]
         T0 = x
+        if self.reference_exact:
+            # GNNlib conv.jl:705-723 verbatim: raw-degree node scaling,
+            # unclamped degrees, and the `for i in 2:l.k` loop that revisits
+            # the order-2 weight slot.
+            d_out = degree(g, dir="out", dtype=x.dtype)
+            d_in = degree(g, dir="in", dtype=x.dtype)
+            if self.k > 1:
+                T1_out = prop(g, T0 * d_out[:, None])
+                T1_in = prop(gt, T0 * d_in[:, None])
+                h = h + T1_in @ W[0, 1] + T1_out @ W[1, 1]
+                for i in range(1, self.k):   # 1-based 2:k
+                    T2_in = 2.0 * prop(gt, T1_in * d_in[:, None]) - T0
+                    T2_out = 2.0 * prop(g, T1_out * d_out[:, None]) - T0
+                    h = h + T2_in @ W[0, i] + T2_out @ W[1, i]
+                    T1_in, T1_out = T2_in, T2_out
+            return h + self.bias[...] if self.bias is not None else h
+        d_out = jnp.maximum(degree(g, dir="out", dtype=x.dtype), 1.0)
+        d_in = jnp.maximum(degree(g, dir="in", dtype=x.dtype), 1.0)
         if self.k > 1:
             T1_out = prop(g, T0 / d_out[:, None])
             T1_in = prop(gt, T0 / d_in[:, None])
@@ -986,7 +1012,7 @@ class DConv(GNNLayer):
                 T2_out = 2.0 * prop(g, T1_out / d_out[:, None]) - T0
                 h = h + T2_in @ W[0, i] + T2_out @ W[1, i]
                 T1_in, T1_out = T2_in, T2_out
-        return h + self.bias.value if self.bias is not None else h
+        return h + self.bias[...] if self.bias is not None else h
 
 
 class EGNNConv(GNNLayer):

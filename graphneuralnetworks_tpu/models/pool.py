@@ -68,7 +68,7 @@ class TopKPool(GNNLayer):
     def __call__(self, g: GraphTuple, x=None):
         if x is None:
             x = g.x
-        p = self.p.value[:, 0]
+        p = self.p[...][:, 0]
         y = x @ p / jnp.maximum(jnp.linalg.norm(p), 1e-12)     # [N_pad]
         y = jnp.where(g.node_mask, y, -jnp.inf)
         topv, topi = jax.lax.top_k(y, self.k)

@@ -128,9 +128,9 @@ class GConvLSTMCell(GNNLayer):
     def _gate(self, name, g, x, h, c):
         out = getattr(self, f"conv_x_{name}")(g, x) \
             + getattr(self, f"conv_h_{name}")(g, h) \
-            + getattr(self, f"w_{name}").value * c
+            + getattr(self, f"w_{name}")[...] * c
         b = getattr(self, f"b_{name}")
-        return out + b.value if b is not None else out
+        return out + b[...] if b is not None else out
 
     def __call__(self, g: GraphTuple, x, state=None):
         if state is None:
@@ -190,7 +190,7 @@ class EvolveGCNOCell(GNNLayer):
         self.in_features, self.out_features = in_features, out_features
 
     def initial_state(self, g, x):
-        w = self.conv.weight.value.reshape(-1)
+        w = self.conv.weight[...].reshape(-1)
         z = jnp.zeros((w.shape[0],), jnp.float32)
         return {"weight": w, "lstm": (z, z)}  # (c, h) zeros carry
 

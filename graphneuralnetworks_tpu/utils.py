@@ -16,7 +16,45 @@ __all__ = [
     "color_refinement",
     "check_num_nodes",
     "check_num_edges",
+    "normalize_graphdata",
 ]
+
+
+def normalize_graphdata(data, *, default_name: str = "x", n: int,
+                        duplicate_if_needed: bool = False) -> dict:
+    """Normalize user-provided feature data into a dict of [n, ...] arrays.
+
+    Reference: GNNGraphs/src/utils.jl:126-170 (with the reference's
+    trailing-obs layout transposed to our leading-obs layout):
+
+    - ``None`` -> empty dict;
+    - a bare array -> ``{default_name: array}``;
+    - ``n <= 1``: vectors of size D are unsqueezed to [1, D] (global feature
+      vectors become one-observation matrices);
+    - ``duplicate_if_needed``: an array with leading dim ``n // 2`` is
+      duplicated along the observation axis — the reference uses this when an
+      undirected input doubles the edge count but features were given for
+      each undirected edge once;
+    - every array must end up with leading dim ``n`` (else ValueError).
+    """
+    if data is None:
+        return {}
+    if not isinstance(data, dict):
+        data = {default_name: data}
+    out = {}
+    for k, v in data.items():
+        v = np.asarray(v)
+        if n <= 1 and (v.ndim == 0 or v.shape[0] != 1):
+            v = v[None]
+        if duplicate_if_needed and n > 0 and v.ndim and v.shape[0] == n // 2 \
+                and v.shape[0] != n:
+            v = np.concatenate([v, v], axis=0)
+        if n > 1 and (v.ndim == 0 or v.shape[0] != n):
+            raise ValueError(
+                f"feature {k!r}: wrong size in leading dimension, expected "
+                f"{n} but got {v.shape[0] if v.ndim else 'scalar'}")
+        out[k] = v
+    return out
 
 
 def check_num_nodes(g, x) -> None:
