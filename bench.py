@@ -34,7 +34,7 @@ import time
 PHASES = {"large_pallas": (3, 500), "large_xla": (2, 420),
           "small_pallas": (2, 300), "small_xla": (2, 300),
           "sddmm": (2, 420), "attention": (2, 420),
-          "train": (2, 480)}
+          "train": (2, 480), "sage_epoch": (2, 560)}
 
 
 def run_phase(phase: str) -> float:
@@ -45,6 +45,9 @@ def run_phase(phase: str) -> float:
 
     import graphneuralnetworks_tpu as gnn
     from graphneuralnetworks_tpu import ops
+
+    if phase == "sage_epoch":
+        return _run_sage_epoch(jax, jnp, np)
 
     small = phase.startswith("small")
     pallas = phase.endswith("pallas")
@@ -142,8 +145,90 @@ def run_phase(phase: str) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def _run_sage_epoch(jax, jnp, np) -> float:
+    """NORTH STAR (BASELINE.md primary metric shape): GraphSAGE sampled-
+    minibatch training on an ogbn-products-scale graph (2.45M nodes, 124M
+    directed edges), NeighborLoader fixed-fanout batches from the C++
+    sampler, host double-buffered ahead of the device
+    (sampling.Prefetcher). Features/labels stay RESIDENT on device; each
+    batch ships only index arrays (the TPU-native pipeline)."""
+    import optax
+    from types import SimpleNamespace
+
+    from flax import nnx
+    from graphneuralnetworks_tpu import models as M
+    from graphneuralnetworks_tpu.sampling import NeighborLoader, Prefetcher
+
+    n, e, d, ncls, bs = 2_449_029, 123_718_280, 100, 47, 1024
+    rng = np.random.default_rng(0)
+    s = rng.integers(0, n, e, dtype=np.int32)
+    r = rng.integers(0, n, e, dtype=np.int32)
+    shim = SimpleNamespace(num_nodes=n, num_edges=e, senders=s,
+                           receivers=r, nodes={}, edges={},
+                           edge_weight=None)
+    seeds = rng.choice(n, 196_615, replace=False)  # products train size
+    loader = NeighborLoader(shim, num_neighbors=[15, 10], batch_size=bs,
+                            input_nodes=seeds, seed=1,
+                            build_spmm_aux=True)
+    n_batches_epoch = len(loader)
+
+    X = jax.random.normal(jax.random.key(0), (n, d), jnp.float32)
+    y = jax.random.randint(jax.random.key(1), (n,), 0, ncls)
+    rngs = nnx.Rngs(0)
+    model = M.GNNChain(M.SAGEConv(d, 256, jax.nn.relu, rngs=rngs),
+                       M.SAGEConv(256, 256, jax.nn.relu, rngs=rngs),
+                       nnx.Linear(256, ncls, rngs=rngs))
+    gd, state = nnx.split(model)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(state)
+
+    @jax.jit
+    def step(state, opt_state, gb, X, y):
+        nid = gb.nodes["NID"]
+
+        def loss_fn(st):
+            logits = nnx.merge(gd, st)(gb, X[nid])
+            ls = optax.softmax_cross_entropy_with_integer_labels(
+                logits[:bs], y[nid][:bs])
+            return jnp.mean(ls)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state)
+        upd, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(state, upd), opt_state, loss
+
+    warm, measure = 2, 40
+    pf = Prefetcher(loader, size=3)
+    edges = 0
+    t0 = busy0 = None
+    loss = None
+    for i, gb in enumerate(pf):
+        if i == warm:
+            t0, busy0 = time.perf_counter(), pf.host_busy_s
+        state, opt_state, loss = step(state, opt_state, gb, X, y)
+        if i >= warm:
+            edges += int(gb.num_edges)   # fetch = device step done
+        else:
+            float(loss)
+        if i + 1 == warm + measure:
+            break
+    wall = time.perf_counter() - t0
+    float(loss)
+    sampler_busy = pf.host_busy_s - busy0
+    per_batch = wall / measure
+    extra = {
+        "sage_epoch_s": round(per_batch * n_batches_epoch, 2),
+        "sage_sampled_edges_per_s": round(edges / wall),
+        "sage_batches_per_s": round(measure / wall, 2),
+        "sampler_util": round(sampler_busy / wall, 3),
+        "sage_batch_ms": round(per_batch * 1e3, 2),
+    }
+    print("PHASE_EXTRA " + json.dumps(extra))
+    return per_batch
+
+
 def orchestrate():
     results = {}
+    extras = {}
     for phase, (attempts, deadline) in PHASES.items():
         t = None
         for attempt in range(attempts):
@@ -155,7 +240,8 @@ def orchestrate():
                 for line in out.stdout.splitlines():
                     if line.startswith("PHASE_RESULT "):
                         t = float(line.split()[1])
-                        break
+                    elif line.startswith("PHASE_EXTRA "):
+                        extras.update(json.loads(line[len("PHASE_EXTRA "):]))
                 if t is not None:
                     break
             except subprocess.TimeoutExpired:
@@ -201,6 +287,9 @@ def orchestrate():
                               if results.get("train") else None),
         "baseline_edges_per_s": round(baseline_edges_per_s),
     }
+    # north-star sampled-epoch metrics (sage_epoch_s, sage_sampled_edges_per_s,
+    # sampler_util, ...) merged from the sage_epoch phase
+    out.update(extras)
     print(json.dumps(out))
 
 

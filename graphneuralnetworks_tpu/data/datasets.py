@@ -31,7 +31,8 @@ import numpy as np
 from ..graph import GraphTuple, graph
 
 __all__ = ["synthetic_cora", "synthetic_tudataset", "mldataset_to_graph",
-           "planetoid_from_files"]
+           "planetoid_from_files", "planetoid_from_raw",
+           "tudataset_from_files", "load_cora"]
 
 
 @dataclasses.dataclass
@@ -182,6 +183,198 @@ def mldataset_to_graph(dataset) -> GraphTuple:
         edges["e"] = np.asarray(obj.edge_attr)
     return graph(s, r, num_nodes=num_nodes, nodes=nodes or None,
                  edges=edges or None)
+
+
+def tudataset_from_files(directory: str, name: str
+                         ) -> tuple[list, np.ndarray]:
+    """Parse the raw TUDataset format (``{name}_A.txt`` etc.) from disk.
+
+    Reference consumer: TUDataset usage in
+    examples/graph_classification_tudataset.jl:30-39 (via MLDatasets). Files
+    (https://chrsmrrs.github.io/datasets format):
+
+    - ``{name}_A.txt``: edge list ``i, j`` (1-based global node ids)
+    - ``{name}_graph_indicator.txt``: graph id per node (1-based)
+    - ``{name}_graph_labels.txt``: label per graph
+    - optional ``{name}_node_labels.txt`` (one-hot encoded into ``x``),
+      ``{name}_node_attributes.txt`` (concatenated into ``x``),
+      ``{name}_edge_labels.txt`` / ``{name}_edge_attributes.txt`` (-> edata).
+
+    Returns ``(graphs, labels)`` like :func:`synthetic_tudataset`.
+    """
+    import os
+
+    def _p(suffix):
+        return os.path.join(directory, f"{name}_{suffix}.txt")
+
+    def _opt(suffix):
+        p = _p(suffix)
+        return np.loadtxt(p, delimiter=",", ndmin=2) \
+            if os.path.exists(p) else None
+
+    A = np.loadtxt(_p("A"), delimiter=",", dtype=np.int64, ndmin=2)
+    gi = np.loadtxt(_p("graph_indicator"), dtype=np.int64) - 1
+    glabels = np.loadtxt(_p("graph_labels"))
+    # labels may be arbitrary ints (e.g. -1/1): densify to 0..C-1
+    uniq = np.unique(glabels)
+    y = np.searchsorted(uniq, glabels).astype(np.int32)
+
+    nlab = _opt("node_labels")
+    nattr = _opt("node_attributes")
+    elab = _opt("edge_labels")
+    eattr = _opt("edge_attributes")
+
+    parts = []
+    if nlab is not None:
+        lab = nlab[:, 0].astype(np.int64)
+        lab -= lab.min()
+        parts.append(np.eye(int(lab.max()) + 1, dtype=np.float32)[lab])
+    if nattr is not None:
+        parts.append(nattr.astype(np.float32))
+    x = np.concatenate(parts, axis=1) if parts else None
+
+    eparts = []
+    if elab is not None:
+        lab = elab[:, 0].astype(np.int64)
+        lab -= lab.min()
+        eparts.append(np.eye(int(lab.max()) + 1, dtype=np.float32)[lab])
+    if eattr is not None:
+        eparts.append(eattr.astype(np.float32))
+    efeat = np.concatenate(eparts, axis=1) if eparts else None
+
+    s_all = A[:, 0] - 1
+    r_all = A[:, 1] - 1
+    num_graphs = int(gi.max()) + 1
+    node_off = np.zeros(num_graphs + 1, np.int64)
+    np.add.at(node_off, gi + 1, 1)
+    node_off = np.cumsum(node_off)
+    e_graph = gi[s_all]
+
+    graphs = []
+    for k in range(num_graphs):
+        nsel = slice(node_off[k], node_off[k + 1])
+        esel = e_graph == k
+        nk = node_off[k + 1] - node_off[k]
+        nodes = {"x": x[nsel]} if x is not None else None
+        edges = {"e": efeat[esel]} if efeat is not None else None
+        graphs.append(graph(s_all[esel] - node_off[k],
+                            r_all[esel] - node_off[k],
+                            num_nodes=int(nk), nodes=nodes, edges=edges,
+                            globals_={"y": np.asarray([y[k]], np.int32)}))
+    return graphs, y
+
+
+def planetoid_from_raw(directory: str, name: str = "cora"
+                       ) -> NodeClassificationData:
+    """Load the REAL Planetoid raw pickles (``ind.cora.x`` ... ``ind.cora.
+    test.index``) — the exact dataset behind the reference's Cora bar
+    (test/examples/node_classification_cora.jl:100-101; loaded there via
+    MLDatasets.Cora from the same files).
+
+    Assembly follows the canonical Planetoid recipe: features =
+    [allx; tx] with the test block re-ordered by ``test.index``; labels
+    likewise; edges from the adjacency dict (both directions); splits =
+    Planetoid standard (train = first len(y) nodes, val = next 500,
+    test = test.index).
+    """
+    import os
+    import pickle
+
+    def _load(suffix):
+        with open(os.path.join(directory, f"ind.{name}.{suffix}"),
+                  "rb") as f:
+            return pickle.load(f, encoding="latin1")
+
+    x, tx, allx = _load("x"), _load("tx"), _load("allx")
+    y, ty, ally = _load("y"), _load("ty"), _load("ally")
+    graph_dict = _load("graph")
+    test_idx = np.loadtxt(
+        os.path.join(directory, f"ind.{name}.test.index"),
+        dtype=np.int64)
+
+    def _dense(a):
+        return np.asarray(a.todense() if hasattr(a, "todense") else a,
+                          np.float32)
+
+    allx, tx = _dense(allx), _dense(tx)
+    ty = np.asarray(ty, np.float32)
+    test_sorted = np.sort(test_idx)
+    if name == "citeseer":
+        # citeseer has gaps in the test index range: re-seat into the full
+        # contiguous range with zero rows for the isolated nodes
+        full = np.arange(test_sorted.min(), test_sorted.max() + 1)
+        tx_full = np.zeros((len(full), tx.shape[1]), np.float32)
+        tx_full[test_sorted - test_sorted.min()] = tx
+        ty_full = np.zeros((len(full), ty.shape[1]), np.float32)
+        ty_full[test_sorted - test_sorted.min()] = ty
+        tx, ty = tx_full, ty_full
+
+    # canonical Planetoid assembly: the tx block sits at rows len(allx)..N in
+    # FILE order; re-seat those rows at their true node ids (test_idx holds
+    # the file order, its sort the on-graph order)
+    feats = np.vstack([allx, tx])
+    labels_oh = np.vstack([np.asarray(ally, np.float32), ty])
+    feats[test_idx] = feats[test_sorted]
+    labels_oh[test_idx] = labels_oh[test_sorted]
+
+    labels = labels_oh.argmax(1).astype(np.int32)
+    num_nodes = feats.shape[0]
+
+    s_list, r_list = [], []
+    for u, nbrs in graph_dict.items():
+        for v in nbrs:
+            if u < num_nodes and v < num_nodes:
+                s_list.append(u)
+                r_list.append(v)
+    s = np.asarray(s_list, np.int64)
+    r = np.asarray(r_list, np.int64)
+    # symmetrize + dedup + drop self loops (Planetoid adjacency lists both
+    # directions inconsistently)
+    key = np.unique(np.concatenate([s * num_nodes + r, r * num_nodes + s]))
+    s2, r2 = key // num_nodes, key % num_nodes
+    keep = s2 != r2
+    s2, r2 = s2[keep], r2[keep]
+
+    # row-normalize features (Planetoid preprocessing)
+    feats /= np.maximum(feats.sum(1, keepdims=True), 1)
+
+    train_mask = np.zeros(num_nodes, bool)
+    val_mask = np.zeros(num_nodes, bool)
+    test_mask = np.zeros(num_nodes, bool)
+    ntrain = np.asarray(y).shape[0]
+    train_mask[:ntrain] = True
+    val_mask[ntrain:ntrain + 500] = True
+    test_mask[test_idx] = True
+
+    g = graph(s2, r2, num_nodes=num_nodes,
+              nodes={"x": feats, "y": labels})
+    pad = g.n_pad - num_nodes
+
+    def padm(mk):
+        return np.pad(mk, (0, pad))
+
+    return NodeClassificationData(g, int(labels.max()) + 1,
+                                  padm(train_mask), padm(val_mask),
+                                  padm(test_mask))
+
+
+def load_cora(*, seed: int = 0) -> tuple[NodeClassificationData, bool]:
+    """The real Cora when its files are on disk, else the synthetic analog.
+
+    Search order: ``$GNN_CORA_DIR``, ``./data/cora``, ``~/.datasets/cora``
+    (raw Planetoid pickles ``ind.cora.*``), then any ``cora.npz``
+    (:func:`planetoid_from_files`). Returns ``(data, is_real)``.
+    """
+    import os
+
+    candidates = [os.environ.get("GNN_CORA_DIR"), "data/cora",
+                  os.path.expanduser("~/.datasets/cora")]
+    for c in candidates:
+        if c and os.path.exists(os.path.join(c, "ind.cora.graph")):
+            return planetoid_from_raw(c, "cora"), True
+        if c and os.path.exists(os.path.join(c, "cora.npz")):
+            return planetoid_from_files(os.path.join(c, "cora.npz")), True
+    return synthetic_cora(seed=seed), False
 
 
 def planetoid_from_files(path: str) -> NodeClassificationData:

@@ -104,6 +104,13 @@ class GraphTuple:
     def g_pad(self) -> int:
         return self.num_graphs_static
 
+    @property
+    def src_pad(self) -> int:
+        """Size of the sender index space. For a plain graph this is the node
+        capacity; a mesh-sharded view (parallel.ShardGraph) overrides it with
+        the halo-buffer size — ops use it so one code path serves both."""
+        return self.n_pad
+
     # ---- masks -------------------------------------------------------------
     @property
     def node_mask(self) -> jax.Array:

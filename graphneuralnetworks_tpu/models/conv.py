@@ -26,7 +26,7 @@ from flax import nnx
 
 from ..graph import GraphTuple
 from ..ops import (aggregate_neighbors, apply_edges, copy_xj, e_mul_xj,
-                   propagate, w_mul_xj, xi_dot_xj, xi_sub_xj)
+                   propagate, to_src_space, w_mul_xj, xi_dot_xj, xi_sub_xj)
 from ..ops.attention import (attention_aggregate, dot_attention,
                              gat_attention, gatv2_attention)
 from ..ops.segment import gather, segment_sum
@@ -348,7 +348,8 @@ class GATConv(GNNLayer):
             if e is None or self.dense_e is None:
                 raise ValueError("edge features required/not configured")
             We = self.dense_e(e).reshape(-1, H, O)
-            raw = (gather(pi, g.receivers) + gather(pj, g.senders)
+            raw = (gather(pi, g.receivers)
+                   + gather(to_src_space(g, pj), g.senders)
                    + jnp.einsum("ehf,fh->eh", We, a[2 * O:]))
             logits = jax.nn.leaky_relu(raw, self.negative_slope)
             out = attention_aggregate(g, logits, Wxj,
@@ -427,7 +428,8 @@ class GATv2Conv(GNNLayer):
         else:
             if e is None or self.dense_e is None:
                 raise ValueError("edge features required/not configured")
-            wx = (gather(Wxi, g.receivers) + gather(Wxj, g.senders)
+            wx = (gather(Wxi, g.receivers)
+                  + gather(to_src_space(g, Wxj), g.senders)
                   + self.dense_e(e).reshape(-1, H, O))
             logits = self._logits(wx)
             out = attention_aggregate(g, logits, Wxj,
@@ -528,8 +530,9 @@ class TransformerConv(GNNLayer):
             if self.W6 is None:
                 raise ValueError("edge features not configured")
             W6e = self.W6(e).reshape(-1, H, O)
-            key = gather(W4x, g.senders) + W6e
-            val, node_vals = gather(W2x, g.senders) + W6e, False
+            key = gather(to_src_space(g, W4x), g.senders) + W6e
+            val = gather(to_src_space(g, W2x), g.senders) + W6e
+            node_vals = False
             logits = (jnp.sum(gather(W3x, g.receivers) * key, -1)
                       / self.sqrt_out)                        # [E, H]
         else:

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..graph import GraphTuple
+from .msgpass import to_src_space
 from .segment import gather, segment_sum, segment_max
 
 __all__ = ["attention_aggregate", "gat_attention", "gatv2_attention",
@@ -43,6 +44,7 @@ def gatv2_attention(g: GraphTuple, q: jax.Array, k: jax.Array,
       a: [O, H] attention vector.
     """
     n = num_segments if num_segments is not None else g.n_pad
+    k = to_src_space(g, k)   # identity unless g is a mesh-sharded view
     if (g.spmm_aux is not None and n == g.n_pad and dropout_masks is None
             and q.ndim == 3 and q.shape[0] == n):
         from .pallas.edge_softmax import gatv2_attention_nodes
@@ -81,6 +83,8 @@ def dot_attention(g: GraphTuple, q: jax.Array, k: jax.Array,
       self_logits: optional [N, H] virtual self-loop logits, ALREADY scaled.
     """
     n = num_segments if num_segments is not None else g.n_pad
+    k = to_src_space(g, k)
+    values = to_src_space(g, values)
     if (g.spmm_aux is not None and n == g.n_pad and q.ndim == 3
             and values.ndim == 3 and q.shape[0] == n
             and k.shape[0] == values.shape[0]):
@@ -107,6 +111,7 @@ def dot_attention_logits(g: GraphTuple, qi: jax.Array,
     gather; falls back to two gathers + reduce otherwise. ``qi``/``kj``:
     [N, H, O] (or [N, O] for a single implicit head -> returns [E]).
     """
+    kj = to_src_space(g, kj)
     if (g.spmm_aux is not None and qi.shape[0] == g.n_pad
             and kj.shape[0] == g.n_pad and qi.shape[-1] > 256):
         # kernel wins only at wide features (see ops/msgpass.py dispatch)
@@ -143,6 +148,8 @@ def gat_attention(g: GraphTuple, pi: jax.Array, pj: jax.Array,
         :func:`attention_aggregate`.
     """
     n = num_segments if num_segments is not None else g.n_pad
+    pj = to_src_space(g, pj)
+    values = to_src_space(g, values)
     if (g.spmm_aux is not None and n == g.n_pad and dropout_masks is None
             and pi.ndim == 2 and values.ndim == 3
             and pi.shape[0] == n and values.shape[0] == pj.shape[0]):
@@ -195,6 +202,8 @@ def attention_aggregate(g: GraphTuple, logits: jax.Array, values: jax.Array,
     r = g.receivers
     n = num_segments if num_segments is not None else g.n_pad
     mask = g.edge_mask
+    if node_values:
+        values = to_src_space(g, values)
 
     # Fused Pallas path: segment-max kernel + denominator-fused weighted
     # scatter-matmul (ops/pallas/edge_softmax.py). Engaged when the graph
@@ -202,7 +211,7 @@ def attention_aggregate(g: GraphTuple, logits: jax.Array, values: jax.Array,
     # padded node set.
     if (g.spmm_aux is not None and n == g.n_pad and logits.ndim in (1, 2)
             and values.ndim == logits.ndim + 1
-            and (not node_values or values.shape[0] == g.n_pad)):
+            and (not node_values or values.shape[0] == g.src_pad)):
         from .pallas.edge_softmax import (edge_softmax_aggregate,
                                           edge_softmax_aggregate_nodes)
         squeeze = logits.ndim == 1

@@ -34,6 +34,7 @@ __all__ = [
     "apply_edges",
     "aggregate_neighbors",
     "propagate",
+    "to_src_space",
     "copy_xi",
     "copy_xj",
     "xi_dot_xj",
@@ -53,6 +54,22 @@ def _map_leaves(fn, x):
     return fn(x)
 
 
+def to_src_space(g, v):
+    """Convert a sender-side NODE array into the graph's sender index space.
+
+    Identity for a plain :class:`GraphTuple`. For a mesh-sharded view
+    (parallel.shardgraph.ShardGraph) this is the halo ``all_to_all`` that
+    ships owned boundary rows into every consumer shard's buffer — the one
+    cross-chip exchange per sender-side operand. Leaves already in src space
+    (leading dim == ``g.src_pad``) pass through.
+    """
+    convert = getattr(g, "src_space", None)
+    if convert is None or v is None:
+        return v
+    return _map_leaves(
+        lambda a: convert(a) if a.shape[0] == g.n_pad else a, v)
+
+
 def apply_edges(f: Callable, g: GraphTuple, xi=None, xj=None, e=None):
     """Gather endpoint features and apply ``f`` over edges.
 
@@ -65,6 +82,7 @@ def apply_edges(f: Callable, g: GraphTuple, xi=None, xj=None, e=None):
     scatter-matmul kernel (ops/pallas/gather.py).
     """
     s, r = g.senders, g.receivers
+    xj = to_src_space(g, xj)   # identity unless g is a mesh-sharded view
     if (f is xi_dot_xj and g.spmm_aux is not None and e is None
             and xi is not None and xj is not None
             and not isinstance(xi, Mapping) and not isinstance(xj, Mapping)
@@ -129,15 +147,35 @@ def propagate(f: Callable, g: GraphTuple, aggr, *, xi=None, xj=None, e=None):
     if (g.spmm_aux is not None and aggr in ("sum", "add", "+")
             and xj is not None and not isinstance(xj, Mapping)
             and xj.ndim == 2):
-        from .pallas.spmm import spmm
-        if f is copy_xj:
-            return spmm(g, xj)
-        if f is w_mul_xj and e is None:
-            if g.edge_weight is None:
+        if hasattr(g, "src_space"):
+            # mesh-sharded view: halo exchange + local Pallas scatter-matmul
+            # (the whole shard step = one all_to_all + one kernel)
+            w = None
+            ok = f is copy_xj and e is None
+            if f is w_mul_xj and e is None:
+                w, ok = g.edge_weight, True
+            elif f in (w_mul_xj, e_mul_xj) and e is not None and e.ndim == 1:
+                w, ok = e, True
+            if ok:
+                from .pallas.spmm import spmm_gather_scatter
+                buf = g.src_space(xj)
+                w_ext = None
+                if w is not None:
+                    w_ext = jnp.concatenate(
+                        [jnp.where(g.edge_mask, w, 0).astype(buf.dtype),
+                         jnp.zeros((1,), buf.dtype)])
+                return spmm_gather_scatter(buf, w_ext, g.spmm_aux,
+                                           (g.n_pad, buf.shape[0]))
+        else:
+            from .pallas.spmm import spmm
+            if f is copy_xj:
                 return spmm(g, xj)
-            return spmm(g, xj, weighted=True)
-        if f in (w_mul_xj, e_mul_xj) and e is not None and e.ndim == 1:
-            return spmm(g, xj, edge_weight=e, weighted=True)
+            if f is w_mul_xj and e is None:
+                if g.edge_weight is None:
+                    return spmm(g, xj)
+                return spmm(g, xj, weighted=True)
+            if f in (w_mul_xj, e_mul_xj) and e is not None and e.ndim == 1:
+                return spmm(g, xj, edge_weight=e, weighted=True)
     if f is w_mul_xj and e is None:
         # the reference's fused path reads the graph's stored weights
         # (msgpass.jl:223-238 via get_edge_weight); keep the generic

@@ -25,9 +25,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.segment import segment_sum
 from .partition import PartitionedGraph
+from .shardgraph import shard_graph_local
 
 __all__ = ["halo_propagate_local", "make_sharded_propagate",
-           "shard_partitioned"]
+           "make_sharded_apply", "shard_partitioned"]
 
 
 def halo_propagate_local(x_local: jax.Array, pg_local: PartitionedGraph,
@@ -90,5 +91,39 @@ def make_sharded_propagate(mesh: Mesh, pg: PartitionedGraph,
     def run(x_stacked, pg_local):
         y = halo_propagate_local(x_stacked[0], pg_local, axis)
         return y[None]
+
+    return run
+
+
+def make_sharded_apply(mesh: Mesh, pg: PartitionedGraph,
+                       fn: Callable, axis: str = "graph", *,
+                       use_spmm_aux: bool = True) -> Callable:
+    """Run an UNMODIFIED layer/model per shard on the mesh.
+
+    ``fn(aux_tree, sg, x_own)`` is the per-shard computation: ``sg`` is this
+    shard's :class:`~.shardgraph.ShardGraph` (duck-typed GraphTuple — real
+    layers like ``models.GCNConv`` consume it directly; every sender-side
+    operand rides ONE halo ``all_to_all``), ``x_own`` is ``[n_local, D]``
+    owned-node features, and ``aux_tree`` is any replicated pytree (model
+    parameters / nnx state). Returns
+
+        ``run(aux_tree, x_stacked [P, n_local, D], pg) -> [P, n_local, D']``
+
+    jit/grad-compatible: gradients flow to ``aux_tree`` and ``x_stacked``
+    through the collectives (the transpose of all_to_all is all_to_all).
+
+    This is the net-new distributed execution the reference lacks (SURVEY
+    §2.6): the full §3.1/§3.2 call stacks (GNNlib/src/msgpass.jl:69-156,
+    utils.jl:84-97) run sharded with identical numerics.
+    """
+    specs = shard_partitioned(pg, axis)
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P(), P(axis), specs), out_specs=P(axis),
+                       check_vma=False)
+    def run(aux_tree, x_stacked, pg_local):
+        sg = shard_graph_local(pg_local, axis, use_spmm_aux=use_spmm_aux)
+        y = fn(aux_tree, sg, x_stacked[0])
+        return jax.tree.map(lambda a: a[None], y)
 
     return run

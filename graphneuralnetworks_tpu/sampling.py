@@ -14,13 +14,64 @@ host pipeline double-buffers batches (SURVEY §7.1).
 
 from __future__ import annotations
 
-from typing import Iterator, Sequence
+import queue
+import threading
+from typing import Iterable, Iterator, Sequence
 
 import numpy as np
 
 from .graph import GraphTuple, graph, round_up
 
-__all__ = ["sample_neighbors", "induced_subgraph", "NeighborLoader"]
+__all__ = ["sample_neighbors", "induced_subgraph", "NeighborLoader",
+           "Prefetcher"]
+
+
+class Prefetcher:
+    """Host-ahead-of-device double buffering for any batch iterable.
+
+    A daemon thread drains the wrapped iterable (e.g. a
+    :class:`NeighborLoader`) into a bounded queue so the host samples batch
+    k+1..k+size while the device executes batch k. ``host_busy_s`` accumulates
+    the producer thread's sampling time — ``host_busy_s / wall`` is the
+    sampler utilization (a value near 1.0 means the host sampler is the
+    bottleneck and the device starves).
+    """
+
+    def __init__(self, it: Iterable, size: int = 2):
+        self._it = it
+        self._size = size
+        self.host_busy_s = 0.0
+
+    def __len__(self):
+        return len(self._it)
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self._size)
+        DONE = object()
+
+        def produce():
+            import time
+            try:
+                it = iter(self._it)
+                while True:
+                    t0 = time.perf_counter()
+                    try:
+                        item = next(it)
+                    except StopIteration:
+                        break
+                    self.host_busy_s += time.perf_counter() - t0
+                    q.put(item)
+            finally:
+                q.put(DONE)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is DONE:
+                break
+            yield item
+        t.join()
 
 
 def _csr_by(ids: np.ndarray, nn: int):

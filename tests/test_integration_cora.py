@@ -15,7 +15,7 @@ from flax import nnx
 
 import graphneuralnetworks_tpu as gnn
 from graphneuralnetworks_tpu import models as M
-from graphneuralnetworks_tpu.data import synthetic_cora
+from graphneuralnetworks_tpu.data.datasets import load_cora
 from graphneuralnetworks_tpu.training import (TrainState, make_train_step,
                                               masked_accuracy,
                                               masked_cross_entropy)
@@ -25,8 +25,13 @@ EPOCHS = 40
 
 
 def _dataset():
+    # uses the REAL Cora (raw Planetoid pickles / npz) when present on disk
+    # ($GNN_CORA_DIR, ./data/cora, ~/.datasets/cora) — the reference's exact
+    # bar; falls back to the seeded synthetic analog offline.
     if not hasattr(_dataset, "_cache"):
-        _dataset._cache = synthetic_cora(seed=1)
+        data, is_real = load_cora(seed=1)
+        print(f"[cora integration] real dataset: {is_real}")
+        _dataset._cache = data
     return _dataset._cache
 
 
