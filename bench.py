@@ -167,10 +167,14 @@ def _run_sage_epoch(jax, jnp, np) -> float:
                            receivers=r, nodes={}, edges={},
                            edge_weight=None)
     seeds = rng.choice(n, 196_615, replace=False)  # products train size
+    # aux groupings are built ON DEVICE inside the jitted step
+    # (ops/pallas/spmm.device_spmm_aux) — the host ships only raw COO index
+    # arrays (~2MB/batch instead of ~20MB)
     loader = NeighborLoader(shim, num_neighbors=[15, 10], batch_size=bs,
                             input_nodes=seeds, seed=1,
-                            build_spmm_aux=True)
+                            build_spmm_aux=False, minimal_batch=True)
     n_batches_epoch = len(loader)
+    from graphneuralnetworks_tpu.ops.pallas.spmm import device_spmm_aux
 
     X = jax.random.normal(jax.random.key(0), (n, d), jnp.float32)
     y = jax.random.randint(jax.random.key(1), (n,), 0, ncls)
@@ -184,6 +188,7 @@ def _run_sage_epoch(jax, jnp, np) -> float:
 
     @jax.jit
     def step(state, opt_state, gb, X, y):
+        gb = device_spmm_aux(gb)
         nid = gb.nodes["NID"]
 
         def loss_fn(st):
@@ -196,8 +201,11 @@ def _run_sage_epoch(jax, jnp, np) -> float:
         upd, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(state, upd), opt_state, loss
 
-    warm, measure = 2, 40
-    pf = Prefetcher(loader, size=3)
+    # workers=1: this host has 2 CPUs — a second sampler thread fights the
+    # dispatch thread and LOSES throughput (measured 100 -> 253 ms/batch);
+    # the workers>1 path is for many-core production hosts.
+    warm, measure, workers = 2, 40, 1
+    pf = Prefetcher(loader, size=4, workers=workers)
     edges = 0
     t0 = busy0 = None
     loss = None
@@ -206,20 +214,21 @@ def _run_sage_epoch(jax, jnp, np) -> float:
             t0, busy0 = time.perf_counter(), pf.host_busy_s
         state, opt_state, loss = step(state, opt_state, gb, X, y)
         if i >= warm:
-            edges += int(gb.num_edges)   # fetch = device step done
+            edges += int(gb.num_edges)   # input-side scalar (cheap fetch)
         else:
             float(loss)
         if i + 1 == warm + measure:
             break
+    float(loss)                          # drain the async step queue
     wall = time.perf_counter() - t0
-    float(loss)
     sampler_busy = pf.host_busy_s - busy0
     per_batch = wall / measure
     extra = {
         "sage_epoch_s": round(per_batch * n_batches_epoch, 2),
         "sage_sampled_edges_per_s": round(edges / wall),
         "sage_batches_per_s": round(measure / wall, 2),
-        "sampler_util": round(sampler_busy / wall, 3),
+        "sampler_workers": workers,
+        "sampler_util": round(sampler_busy / (wall * workers), 3),
         "sage_batch_ms": round(per_batch * 1e3, 2),
     }
     print("PHASE_EXTRA " + json.dumps(extra))

@@ -264,7 +264,9 @@ def graph(senders, receivers, *, num_nodes=None, nodes=None, edges=None,
     s_p[:ne], r_p[:ne] = s, r
 
     if node_graph_id is None:
-        gid = np.zeros((n_pad,), dtype=np.int32)
+        # device-side fill — never ships an all-zeros array host->device
+        # (matters in the minibatch pipeline where every batch builds one)
+        gid = jnp.zeros((n_pad,), dtype=jnp.int32)
     else:
         gid = np.asarray(node_graph_id, dtype=np.int32)
         if gid.shape[0] == nn and n_pad > nn:

@@ -45,9 +45,9 @@ def _load():
             i64p = ctypes.POINTER(ctypes.c_int64)
             i32p = ctypes.POINTER(ctypes.c_int32)
             fn.restype = ctypes.c_int64
-            fn.argtypes = [i64p, i64p, i32p, i64p, ctypes.c_int64, i64p,
+            fn.argtypes = [i32p, i32p, i64p, i64p, ctypes.c_int64, i64p,
                            ctypes.c_int64, ctypes.c_int32, ctypes.c_uint64,
-                           ctypes.c_int64, ctypes.c_int64,
+                           ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                            i64p, i32p, i32p, i64p, i64p, i64p]
             _lib = lib
         except Exception:
@@ -60,17 +60,21 @@ def available() -> bool:
     return _load() is not None
 
 
-def sample_layers(order: np.ndarray, ptr: np.ndarray, seeds: np.ndarray,
-                  fanouts, replace: bool, seed: int,
-                  senders: np.ndarray):
-    """C++ layered neighbor expansion; see sampler.cc. Raises if the native
+def sample_layers(csr_send: np.ndarray, csr_eid: np.ndarray,
+                  ptr: np.ndarray, seeds: np.ndarray,
+                  fanouts, replace: bool, seed: int):
+    """C++ layered neighbor expansion; see sampler.cc.
+
+    ``csr_send``/``csr_eid`` are int32 CSR-position-ordered sender ids and
+    original edge ids (= senders[order] and order for the receiver sort) —
+    the latency-friendly layout the kernel expects. Raises if the native
     library is unavailable (callers fall back to the numpy path)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native sampler unavailable")
-    order = np.ascontiguousarray(order, np.int64)
+    csr_send = np.ascontiguousarray(csr_send, np.int32)
+    csr_eid = np.ascontiguousarray(csr_eid, np.int32)
     ptr = np.ascontiguousarray(ptr, np.int64)
-    senders = np.ascontiguousarray(senders, np.int32)
     seeds = np.ascontiguousarray(seeds, np.int64)
     fanouts = np.ascontiguousarray(fanouts, np.int64)
 
@@ -98,10 +102,11 @@ def sample_layers(order: np.ndarray, ptr: np.ndarray, seeds: np.ndarray,
         return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
     rc = lib.gnn_sample_layers(
-        p64(order), p64(ptr), p32(senders), p64(seeds),
+        p32(csr_send), p32(csr_eid), p64(ptr), p64(seeds),
         ctypes.c_int64(len(seeds)), p64(fanouts),
         ctypes.c_int64(len(fanouts)), ctypes.c_int32(int(replace)),
         ctypes.c_uint64(seed & 0xFFFFFFFFFFFFFFFF),
+        ctypes.c_int64(len(ptr) - 1),
         ctypes.c_int64(cap_nodes), ctypes.c_int64(cap_edges),
         p64(nid), p32(es), p32(er), p64(eid), p64(n_nodes), p64(n_edges))
     if rc != 0:

@@ -167,6 +167,83 @@ def build_spmm_aux(receivers, senders, num_edges: int, n_pad: int,
     )
 
 
+def _device_grouping(r_sorted, s_sorted, ids, num_edges, n_pad: int,
+                     n_eblk: int, *, bn: int = BN, be: int = BE) -> SpmmAux:
+    """All-device build_spmm_aux (fixed shapes; traced edge count).
+
+    Same grouping as :func:`build_spmm_aux`, expressed in jnp so the
+    minibatch pipeline never ships the ~10MB aux arrays host->device: the
+    loader sends only the raw COO index arrays and the jitted train step
+    derives the grouping on-chip (searchsorted/cumsum/scatter over fixed
+    shapes — microseconds on the VPU vs tens of ms of host build +
+    PCIe/tunnel transfer).
+
+    ``r_sorted`` must be ascending with padded edges pointing at the dummy
+    node n_pad-1 (the graph() builder invariant), ``ids`` maps slot order to
+    original edge ids.
+    """
+    e_pad = r_sorted.shape[0]
+    n_nblk = max(1, -(-n_pad // bn))
+    r32 = r_sorted.astype(jnp.int32)
+    bounds = jnp.searchsorted(
+        r32, jnp.arange(0, (n_nblk + 1) * bn, bn, dtype=jnp.int32))
+    cnt = jnp.diff(bounds)                          # edges per node block
+    nb = jnp.maximum(1, -(-cnt // be))              # edge blocks per node blk
+    slot_base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nb * be).astype(jnp.int32)]
+    )[:-1]
+    total = n_eblk * be
+
+    blk = r32 // bn
+    i = jnp.arange(e_pad, dtype=jnp.int32)
+    mask = i < num_edges
+    dest = slot_base[blk] + (i - bounds[blk].astype(jnp.int32))
+    dest = jnp.where(mask, dest, total)             # OOB -> dropped scatter
+
+    senders_flat = jnp.zeros((total,), jnp.int32) \
+        .at[dest].set(s_sorted.astype(jnp.int32), mode="drop")
+    recv_flat = jnp.full((total,), -1, jnp.int32) \
+        .at[dest].set(r32 % bn, mode="drop")
+    perm_flat = jnp.full((total,), e_pad, jnp.int32) \
+        .at[dest].set(ids.astype(jnp.int32), mode="drop")
+    slot_of_edge = jnp.full((e_pad,), total, jnp.int32) \
+        .at[ids].set(jnp.where(mask, dest, total), mode="drop")
+    # trailing pad blocks repeat the LAST row index (jnp.repeat pads with the
+    # final element), so the kernel reset logic never re-zeroes a visited row
+    rows = jnp.repeat(jnp.arange(n_nblk, dtype=jnp.int32), nb,
+                      total_repeat_length=n_eblk)
+    return SpmmAux(
+        block_rows=rows,
+        senders_grp=senders_flat.reshape(-1, be),
+        recv_local=recv_flat.reshape(-1, be),
+        edge_perm=perm_flat.reshape(-1, be),
+        edge_slot=slot_of_edge,
+    )
+
+
+def device_spmm_aux(g, *, fixed_n_eblk: int | None = None):
+    """Attach an on-device-built (aux_fwd, aux_rev) pair to ``g`` under jit.
+
+    Drop-in replacement for ``graph(..., build_spmm_aux=True)`` for the
+    sampled-minibatch pipeline: call INSIDE the jitted step on a graph built
+    with ``build_spmm_aux=False``. Requires the builder's receiver-sorted /
+    dummy-padded invariants.
+    """
+    n_eblk = fixed_n_eblk or fixed_eblk_bound(g.n_pad, g.e_pad)
+    ids_fwd = jnp.arange(g.e_pad, dtype=jnp.int32)
+    aux_fwd = _device_grouping(g.receivers, g.senders, ids_fwd,
+                               g.num_edges, g.n_pad, n_eblk)
+    # reverse grouping: sort by sender (dummy edges already point at the
+    # dummy node and sort last under a stable key)
+    key = jnp.where(g.edge_mask, g.senders.astype(jnp.int32), g.n_pad - 1)
+    order = jnp.argsort(key, stable=True).astype(jnp.int32)
+    rev_r = g.senders[order]
+    rev_s = g.receivers[order]
+    aux_rev = _device_grouping(rev_r, rev_s, order, g.num_edges, g.n_pad,
+                               n_eblk)
+    return g.replace(spmm_aux=(aux_fwd, aux_rev))
+
+
 def _scatter_kernel(block_rows_ref, recv_ref, w_ref, m_ref, out_ref):
     """One grid step: accumulate one edge block into its output row block.
 

@@ -29,23 +29,36 @@ __all__ = ["sample_neighbors", "induced_subgraph", "NeighborLoader",
 class Prefetcher:
     """Host-ahead-of-device double buffering for any batch iterable.
 
-    A daemon thread drains the wrapped iterable (e.g. a
+    Daemon producer threads drain the wrapped iterable (e.g. a
     :class:`NeighborLoader`) into a bounded queue so the host samples batch
-    k+1..k+size while the device executes batch k. ``host_busy_s`` accumulates
-    the producer thread's sampling time — ``host_busy_s / wall`` is the
-    sampler utilization (a value near 1.0 means the host sampler is the
-    bottleneck and the device starves).
+    k+1..k+size while the device executes batch k. ``host_busy_s``
+    accumulates sampling time across all workers —
+    ``host_busy_s / (wall * workers)`` is the per-worker sampler utilization
+    (near 1.0 means the host sampler is the bottleneck and the device
+    starves).
+
+    ``workers > 1`` requires the iterable to expose the work-splitting
+    protocol (``epoch_batches()`` + ``sample_batch(seeds, rng)``, as
+    :class:`NeighborLoader` does); batches may then be yielded out of order
+    (irrelevant for shuffled training).
     """
 
-    def __init__(self, it: Iterable, size: int = 2):
+    def __init__(self, it: Iterable, size: int = 2, *, workers: int = 1):
         self._it = it
         self._size = size
+        self._workers = int(workers)
+        if self._workers > 1 and not hasattr(it, "epoch_batches"):
+            raise ValueError("workers > 1 needs an iterable with the "
+                             "epoch_batches/sample_batch protocol")
         self.host_busy_s = 0.0
 
     def __len__(self):
         return len(self._it)
 
     def __iter__(self):
+        if self._workers > 1:
+            yield from self._iter_multi()
+            return
         q: queue.Queue = queue.Queue(maxsize=self._size)
         DONE = object()
 
@@ -72,6 +85,56 @@ class Prefetcher:
                 break
             yield item
         t.join()
+
+    def _iter_multi(self):
+        import time
+
+        tasks: queue.Queue = queue.Queue()
+        batches = self._it.epoch_batches()
+        for b in batches:
+            tasks.put(b)
+        q: queue.Queue = queue.Queue(maxsize=max(self._size, self._workers))
+        errors: list[BaseException] = []
+
+        def produce(w):
+            rng = np.random.default_rng(
+                np.random.SeedSequence(entropy=[0x5A17, w]))
+            busy = 0.0
+            try:
+                while True:
+                    try:
+                        seeds = tasks.get_nowait()
+                    except queue.Empty:
+                        return
+                    t0 = time.perf_counter()
+                    try:
+                        item = self._it.sample_batch(seeds, rng=rng)
+                    except BaseException as exc:  # surfaced on consumer side
+                        errors.append(exc)
+                        return
+                    busy += time.perf_counter() - t0
+                    q.put(item)
+            finally:
+                self.host_busy_s += busy  # one racy += per worker lifetime
+
+        threads = [threading.Thread(target=produce, args=(w,), daemon=True)
+                   for w in range(self._workers)]
+        for t in threads:
+            t.start()
+        for _ in range(len(batches)):
+            while True:
+                try:
+                    yield q.get(timeout=1.0)
+                    break
+                except queue.Empty:
+                    if errors:
+                        raise errors[0]
+                    if not any(t.is_alive() for t in threads):
+                        return
+        for t in threads:
+            t.join()
+        if errors:
+            raise errors[0]
 
 
 def _csr_by(ids: np.ndarray, nn: int):
@@ -174,9 +237,14 @@ class NeighborLoader:
     def __init__(self, g: GraphTuple, *, num_neighbors: Sequence[int],
                  input_nodes=None, batch_size: int = 32,
                  replace: bool = False, shuffle: bool = True,
-                 seed: int = 0, build_spmm_aux: bool = False):
+                 seed: int = 0, build_spmm_aux: bool = False,
+                 minimal_batch: bool = False):
         self.g = g
         self.build_spmm_aux = build_spmm_aux
+        # minimal_batch: ship only the index arrays the train step needs
+        # (COO + NID); skip EID/seed_mask/edata/weights. For device-resident
+        # feature pipelines where every host->device byte counts.
+        self.minimal_batch = minimal_batch
         self.num_neighbors = list(num_neighbors)
         self.batch_size = int(batch_size)
         self.replace = replace
@@ -189,7 +257,13 @@ class NeighborLoader:
         ne = int(g.num_edges)
         self._s = np.asarray(g.senders)[:ne]
         self._r = np.asarray(g.receivers)[:ne]
-        self._order, self._ptr = _csr_by(self._r, nn)
+        order, self._ptr = _csr_by(self._r, nn)
+        # latency-friendly CSR layout for the native sampler: int32 senders
+        # and edge ids in CSR position order (two independent loads per
+        # sampled edge instead of the order->senders dependent chain)
+        self._csr_send = self._s[order].astype(np.int32)
+        self._csr_eid = order.astype(np.int32)
+        del order
 
         # worst-case capacities
         max_nodes = self.batch_size
@@ -206,46 +280,66 @@ class NeighborLoader:
         return (len(self.input_nodes) + self.batch_size - 1) \
             // self.batch_size
 
-    def __iter__(self) -> Iterator[GraphTuple]:
+    def epoch_batches(self) -> list[np.ndarray]:
+        """One epoch's seed batches (shuffled; final short batch repeat-
+        padded to full size). Part of the Prefetcher multi-worker protocol."""
         seeds_all = self.input_nodes.copy()
         if self.shuffle:
             self._rng.shuffle(seeds_all)
         bs = self.batch_size
+        out = []
         for i in range(0, len(seeds_all), bs):
             seeds = seeds_all[i:i + bs]
             if len(seeds) < bs:  # repeat-pad the final short batch
                 seeds = np.concatenate(
                     [seeds, seeds_all[: bs - len(seeds)]])
+            out.append(seeds)
+        return out
+
+    def __iter__(self) -> Iterator[GraphTuple]:
+        for seeds in self.epoch_batches():
             yield self._sample_batch(seeds)
 
-    def _sample_batch(self, seeds: np.ndarray) -> GraphTuple:
+    def sample_batch(self, seeds: np.ndarray,
+                     rng: np.random.Generator | None = None) -> GraphTuple:
+        """Sample one padded minibatch for explicit seed nodes; thread-safe
+        when given a private ``rng`` (the CSR arrays are read-only and the
+        native sampler's scratch is thread-local)."""
+        return self._sample_batch(seeds, rng=rng)
+
+    def _sample_batch(self, seeds: np.ndarray,
+                      rng: np.random.Generator | None = None) -> GraphTuple:
+        rng = rng or self._rng
         try:
             from .native import sample_layers as _native_sample
         except Exception:
             _native_sample = None
         if _native_sample is not None:
             nid, es, er, eid = _native_sample(
-                self._order, self._ptr, seeds, self.num_neighbors,
-                self.replace, int(self._rng.integers(0, 2 ** 31 - 1)),
-                self._s)
+                self._csr_send, self._csr_eid, self._ptr, seeds,
+                self.num_neighbors, self.replace,
+                int(rng.integers(0, 2 ** 31 - 1)))
         else:
-            nid, es, er, eid = self._sample_py(seeds)
+            nid, es, er, eid = self._sample_py(seeds, rng)
         # nid: original node ids (seeds first, unique); es/er: edges in
         # *local* ids; eid: original edge ids (the reference's EID)
         g = self.g
         nn = int(g.num_nodes)
         ne = int(g.num_edges)
-        ndata = {"NID": nid.astype(np.int32),
-                 "seed_mask": (np.arange(len(nid)) < len(seeds))}
-        for k, v in g.nodes.items():
-            ndata[k] = np.asarray(v)[:nn][nid]
-        # edge data rides along: EID mapping, per-edge features, weights
-        # (sampling.jl:72-75 keeps EID; weighted GraphSAGE needs the weights)
-        edata = {"EID": eid.astype(np.int32)}
-        for k, v in g.edges.items():
-            edata[k] = np.asarray(v)[:ne][eid]
-        w = g.edge_weight
-        w2 = None if w is None else np.asarray(w)[:ne][eid]
+        ndata = {"NID": nid.astype(np.int32)}
+        edata = None
+        w2 = None
+        if not self.minimal_batch:
+            ndata["seed_mask"] = np.arange(len(nid)) < len(seeds)
+            for k, v in g.nodes.items():
+                ndata[k] = np.asarray(v)[:nn][nid]
+            # edge data rides along: EID mapping, per-edge features, weights
+            # (sampling.jl:72-75 keeps EID; weighted GraphSAGE needs them)
+            edata = {"EID": eid.astype(np.int32)}
+            for k, v in g.edges.items():
+                edata[k] = np.asarray(v)[:ne][eid]
+            w = g.edge_weight
+            w2 = None if w is None else np.asarray(w)[:ne][eid]
         fixed = None
         if self.build_spmm_aux:
             # fixed block count -> identical aux shapes across batches, so
@@ -258,7 +352,9 @@ class NeighborLoader:
                      build_spmm_aux=self.build_spmm_aux,
                      spmm_fixed_eblk=fixed)
 
-    def _sample_py(self, seeds: np.ndarray):
+    def _sample_py(self, seeds: np.ndarray,
+                   rng: np.random.Generator | None = None):
+        rng = rng or self._rng
         local = {int(v): i for i, v in enumerate(seeds)}
         nid = list(seeds)
         es, er, eid = [], [], []
@@ -271,12 +367,13 @@ class NeighborLoader:
                 if deg == 0:
                     continue
                 if self.replace:
-                    pick = self._rng.integers(lo, hi, k)
+                    pick = rng.integers(lo, hi, k)
                 else:
                     kk = min(k, deg)
-                    pick = lo + self._rng.permutation(deg)[:kk]
-                for e in self._order[pick]:
-                    u = int(self._s[e])
+                    pick = lo + rng.permutation(deg)[:kk]
+                for p in pick:
+                    e = int(self._csr_eid[p])
+                    u = int(self._csr_send[p])
                     if u not in local:
                         local[u] = len(nid)
                         nid.append(u)

@@ -94,8 +94,10 @@ def test_native_sampler_available():
     s = np.asarray(g.senders)
     order = np.argsort(r, kind="stable")
     ptr = np.concatenate([[0], np.cumsum(np.bincount(r, minlength=100))])
-    nid, es, er, eid = native.sample_layers(order, ptr, np.arange(8), [4, 3],
-                                            False, 42, s[:ne])
+    csr_send = s[:ne][order].astype(np.int32)
+    csr_eid = order.astype(np.int32)
+    nid, es, er, eid = native.sample_layers(csr_send, csr_eid, ptr,
+                                            np.arange(8), [4, 3], False, 42)
     assert len(nid) >= 8
     assert es.max(initial=0) < len(nid)
     # sampled edges exist in g
