@@ -229,7 +229,16 @@ def device_spmm_aux(g, *, fixed_n_eblk: int | None = None):
     with ``build_spmm_aux=False``. Requires the builder's receiver-sorted /
     dummy-padded invariants.
     """
-    n_eblk = fixed_n_eblk or fixed_eblk_bound(g.n_pad, g.e_pad)
+    bound = fixed_eblk_bound(g.n_pad, g.e_pad)
+    if fixed_n_eblk is not None and fixed_n_eblk < bound:
+        # the device grouping scatters with mode="drop": an undersized block
+        # count would silently drop real edges (the host builder raises for
+        # the same condition) — both quantities are static, so check here
+        raise ValueError(
+            f"fixed_n_eblk={fixed_n_eblk} < fixed_eblk_bound(n_pad="
+            f"{g.n_pad}, e_pad={g.e_pad})={bound}: some edge distribution "
+            "at these capacities would not fit the grouping")
+    n_eblk = fixed_n_eblk or bound
     ids_fwd = jnp.arange(g.e_pad, dtype=jnp.int32)
     aux_fwd = _device_grouping(g.receivers, g.senders, ids_fwd,
                                g.num_edges, g.n_pad, n_eblk)

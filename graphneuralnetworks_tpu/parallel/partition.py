@@ -132,13 +132,30 @@ def partition_graph(g: GraphTuple, num_parts: int, *,
         for p in range(num_parts)] for q in range(num_parts)]
     h_min = max(1, max(len(halo_nodes[q][p]) for q in range(num_parts)
                        for p in range(num_parts)))
+    h_max_forced = h_max is not None
     h_max = h_max if h_max is not None else h_min
     if h_max < h_min:
         raise ValueError(f"h_max {h_max} < required {h_min}")
+    # the halo buffer (num_parts * h_max rows) must be distinguishable from
+    # the owned-node space by leading dim alone — ops.to_src_space infers
+    # "already converted" from shape, so a collision would let the halo
+    # all_to_all run twice on the same operand (silently wrong results)
+    if num_parts * h_max == n_local:
+        if h_max_forced:
+            raise ValueError(
+                f"num_parts*h_max ({num_parts}*{h_max}) == n_local "
+                f"({n_local}): the halo-buffer row count may not equal the "
+                "owned-node capacity (sender-space inference would be "
+                "ambiguous); pass h_max+1")
+        h_max += 1
 
     node_global = np.zeros((num_parts, n_local), np.int32)
     node_mask = np.zeros((num_parts, n_local), bool)
-    recv_local = np.zeros((num_parts, e_local), np.int32)
+    # pad slots point at the LAST local row (mirroring the GraphTuple
+    # dummy-node convention): real receivers are ascending per shard, so the
+    # tail keeps the sequence non-decreasing and segment ops may honor
+    # sorted_by_receivers=True (padded messages are masked to zero upstream)
+    recv_local = np.full((num_parts, e_local), n_local - 1, np.int32)
     send_halo_idx = np.zeros((num_parts, e_local), np.int32)
     edge_mask = np.zeros((num_parts, e_local), bool)
     halo_send = np.zeros((num_parts, num_parts, h_max), np.int32)

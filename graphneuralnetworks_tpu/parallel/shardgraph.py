@@ -121,6 +121,15 @@ def shard_graph_local(pg_local: PartitionedGraph, axis: str,
     leaves carry a leading singleton shard axis (the result of sharding the
     stacked pytree with ``P(axis)``).
     """
+    n_local = pg_local.node_mask.shape[-1]
+    if pg_local.num_parts * pg_local.h_max == n_local:
+        # ops.to_src_space infers "needs the halo all_to_all" from leading
+        # dim == n_pad; if the halo buffer had the same row count, an
+        # already-converted operand would be converted twice (silently wrong)
+        raise ValueError(
+            f"halo-buffer rows (num_parts*h_max = {pg_local.num_parts}*"
+            f"{pg_local.h_max}) equal n_local ({n_local}); repartition with "
+            "h_max+1 (partition_graph avoids this automatically)")
     aux = None
     if use_spmm_aux and pg_local.spmm_aux is not None:
         aux = jax.tree.map(lambda a: a[0], pg_local.spmm_aux)

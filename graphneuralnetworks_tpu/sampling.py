@@ -61,6 +61,9 @@ class Prefetcher:
             return
         q: queue.Queue = queue.Queue(maxsize=self._size)
         DONE = object()
+        failure: list[BaseException] = []  # producer exception, re-raised
+        # on the consumer side (a dead producer must NOT look like a short
+        # epoch — silent training-data truncation)
 
         def produce():
             import time
@@ -74,6 +77,8 @@ class Prefetcher:
                         break
                     self.host_busy_s += time.perf_counter() - t0
                     q.put(item)
+            except BaseException as exc:
+                failure.append(exc)
             finally:
                 q.put(DONE)
 
@@ -85,6 +90,8 @@ class Prefetcher:
                 break
             yield item
         t.join()
+        if failure:
+            raise failure[0]
 
     def _iter_multi(self):
         import time
