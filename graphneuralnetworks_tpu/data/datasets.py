@@ -32,7 +32,9 @@ from ..graph import GraphTuple, graph
 
 __all__ = ["synthetic_cora", "synthetic_tudataset", "mldataset_to_graph",
            "planetoid_from_files", "planetoid_from_raw",
-           "tudataset_from_files", "load_cora"]
+           "tudataset_from_files", "load_cora",
+           "LargeGraphData", "ogbn_from_files", "load_ogbn_products",
+           "TemporalSignalData", "metrla_from_files", "load_metrla"]
 
 
 @dataclasses.dataclass
@@ -375,6 +377,212 @@ def load_cora(*, seed: int = 0) -> tuple[NodeClassificationData, bool]:
         if c and os.path.exists(os.path.join(c, "cora.npz")):
             return planetoid_from_files(os.path.join(c, "cora.npz")), True
     return synthetic_cora(seed=seed), False
+
+
+@dataclasses.dataclass
+class LargeGraphData:
+    """A sampling-scale graph kept as raw host arrays (NOT a padded
+    GraphTuple — at ogbn scale the COO alone is ~1GB; the minibatch pipeline
+    ships only per-batch index arrays, see sampling.NeighborLoader)."""
+
+    senders: np.ndarray      # int32[E]
+    receivers: np.ndarray    # int32[E]
+    num_nodes: int
+    x: np.ndarray | None     # float32[N, D] node features
+    y: np.ndarray | None     # int32[N] labels
+    splits: dict             # name -> int64 node-index array
+
+
+def _open_maybe_gz(path):
+    import gzip
+    return gzip.open(path, "rt") if path.endswith(".gz") else open(path)
+
+
+def _find(directory, *names):
+    import os
+    for n in names:
+        for cand in (n, n + ".gz"):
+            p = os.path.join(directory, cand)
+            if os.path.exists(p):
+                return p
+    return None
+
+
+def ogbn_from_files(directory: str) -> LargeGraphData:
+    """Load an OGB node-property dataset (ogbn-products layout) from disk.
+
+    Reference consumer: the BASELINE.md north-star metric (GraphSAGE epoch
+    time on ogbn-products); the reference itself reaches OGB via MLDatasets
+    (GNNGraphs/src/mldatasets.jl:25-41). No network egress here — the user
+    drops the standard OGB directory (or a preprocessed ``ogbn.npz``) on
+    disk. Accepted layouts, in preference order:
+
+    1. ``{dir}/ogbn.npz`` with arrays ``edge_index`` [2, E], ``node_feat``
+       [N, D], ``node_label`` [N], ``train_idx``/``valid_idx``/``test_idx``.
+    2. The standard OGB download tree: ``raw/edge.csv[.gz]`` ("src,dst"
+       lines), ``raw/node-feat.csv[.gz]``, ``raw/node-label.csv[.gz]``, and
+       ``split/*/{train,valid,test}.csv[.gz]``.
+    """
+    import glob
+    import os
+
+    npz = os.path.join(directory, "ogbn.npz")
+    if os.path.exists(npz):
+        z = np.load(npz)
+        ei = np.asarray(z["edge_index"], np.int32)
+        splits = {k: np.asarray(z[f"{k}_idx"], np.int64)
+                  for k in ("train", "valid", "test") if f"{k}_idx" in z}
+        x = np.asarray(z["node_feat"], np.float32) \
+            if "node_feat" in z else None
+        y = np.asarray(z["node_label"], np.int32).reshape(-1) \
+            if "node_label" in z else None
+        n = int(z["num_nodes"]) if "num_nodes" in z else (
+            x.shape[0] if x is not None else int(ei.max()) + 1)
+        return LargeGraphData(ei[0], ei[1], n, x, y, splits)
+
+    raw = os.path.join(directory, "raw")
+    edge_p = _find(raw, "edge.csv") or _find(directory, "edge.csv")
+    if edge_p is None:
+        raise FileNotFoundError(
+            f"no ogbn.npz and no raw/edge.csv under {directory}")
+    base = os.path.dirname(edge_p)
+    with _open_maybe_gz(edge_p) as f:
+        ei = np.loadtxt(f, delimiter=",", dtype=np.int64, ndmin=2)
+    s, r = ei[:, 0].astype(np.int32), ei[:, 1].astype(np.int32)
+
+    x = y = None
+    p = _find(base, "node-feat.csv")
+    if p:
+        with _open_maybe_gz(p) as f:
+            x = np.loadtxt(f, delimiter=",", dtype=np.float32, ndmin=2)
+    p = _find(base, "node-label.csv")
+    if p:
+        with _open_maybe_gz(p) as f:
+            y = np.loadtxt(f, delimiter=",", dtype=np.int64).reshape(-1) \
+                .astype(np.int32)
+    n = (x.shape[0] if x is not None
+         else (y.shape[0] if y is not None
+               else int(max(s.max(), r.max())) + 1))
+
+    splits = {}
+    for sp in glob.glob(os.path.join(directory, "split", "*")):
+        for name in ("train", "valid", "test"):
+            p = _find(sp, f"{name}.csv")
+            if p:
+                with _open_maybe_gz(p) as f:
+                    splits[name] = np.loadtxt(f, dtype=np.int64).reshape(-1)
+        if splits:
+            break
+    return LargeGraphData(s, r, n, x, y, splits)
+
+
+def load_ogbn_products() -> tuple[LargeGraphData | None, bool]:
+    """The real ogbn-products when its files are on disk, else ``None``.
+
+    Search order: ``$GNN_OGBN_PRODUCTS_DIR``, ``./data/ogbn-products``,
+    ``~/.datasets/ogbn-products``. Returns ``(data_or_None, is_real)`` —
+    callers (bench.py's north-star phase) substitute a synthetic
+    degree-skewed analog and record ``real_data: false`` when absent.
+    """
+    import os
+
+    for c in (os.environ.get("GNN_OGBN_PRODUCTS_DIR"), "data/ogbn-products",
+              os.path.expanduser("~/.datasets/ogbn-products")):
+        if not c or not os.path.isdir(c):
+            continue
+        try:
+            return ogbn_from_files(c), True
+        except FileNotFoundError:
+            continue
+    return None, False
+
+
+@dataclasses.dataclass
+class TemporalSignalData:
+    """A traffic-forecasting style dataset: one static sensor graph plus a
+    [T, N, C] signal tensor (reference consumer:
+    examples/traffic_prediction_metrla.jl)."""
+
+    senders: np.ndarray
+    receivers: np.ndarray
+    edge_weight: np.ndarray | None
+    num_nodes: int
+    signal: np.ndarray        # float32[T, N, C]
+    timestamps: np.ndarray | None = None
+
+
+def metrla_from_files(directory: str) -> TemporalSignalData:
+    """Load METR-LA (or any same-layout traffic dataset) from disk.
+
+    Reference consumer: examples/traffic_prediction_metrla.jl (loaded there
+    via MLDatasets.METRLA). Accepted layouts, in preference order:
+
+    1. ``{dir}/metrla.npz`` with ``signal`` [T, N] or [T, N, C], ``adj``
+       [N, N] (dense weighted adjacency), optional ``timestamps``.
+    2. The standard distribution: ``metr-la.h5`` (pandas fixed-format HDF5,
+       read directly via h5py: ``df/block0_values`` [T, N] +
+       ``df/axis1`` timestamps) and ``adj_mx.pkl`` (3-tuple pickle whose
+       last element is the [N, N] adjacency).
+    """
+    import os
+    import pickle
+
+    npz = os.path.join(directory, "metrla.npz")
+    if os.path.exists(npz):
+        z = np.load(npz)
+        sig = np.asarray(z["signal"], np.float32)
+        adj = np.asarray(z["adj"], np.float32)
+        ts = np.asarray(z["timestamps"]) if "timestamps" in z else None
+    else:
+        h5 = _find(directory, "metr-la.h5", "metr_la.h5", "pems-bay.h5")
+        pkl = _find(directory, "adj_mx.pkl", "adj_mx_bay.pkl")
+        if h5 is None or pkl is None:
+            raise FileNotFoundError(
+                f"no metrla.npz and no (metr-la.h5, adj_mx.pkl) under "
+                f"{directory}")
+        import h5py
+        with h5py.File(h5, "r") as f:
+            key = next(iter(f.keys()))          # pandas stores under 'df'
+            grp = f[key]
+            if hasattr(grp, "keys") and "block0_values" in grp:
+                sig = np.asarray(grp["block0_values"], np.float32)
+                ts = (np.asarray(grp["axis1"])
+                      if "axis1" in grp else None)
+            else:                                # plain dataset layout
+                sig = np.asarray(grp, np.float32)
+                ts = None
+        with open(pkl, "rb") as f:
+            obj = pickle.load(f, encoding="latin1")
+        adj = np.asarray(obj[-1] if isinstance(obj, (tuple, list)) else obj,
+                         np.float32)
+    if sig.ndim == 2:
+        sig = sig[:, :, None]
+    n = adj.shape[0]
+    if sig.shape[1] != n:
+        raise ValueError(f"signal has {sig.shape[1]} sensors, adjacency "
+                         f"has {n}")
+    s, r = np.nonzero(adj)
+    return TemporalSignalData(s.astype(np.int32), r.astype(np.int32),
+                              adj[s, r].astype(np.float32), n, sig, ts)
+
+
+def load_metrla() -> tuple[TemporalSignalData | None, bool]:
+    """The real METR-LA when its files are on disk, else ``None``.
+
+    Search order: ``$GNN_METRLA_DIR``, ``./data/metr-la``,
+    ``~/.datasets/metr-la``. Returns ``(data_or_None, is_real)``.
+    """
+    import os
+
+    for c in (os.environ.get("GNN_METRLA_DIR"), "data/metr-la",
+              os.path.expanduser("~/.datasets/metr-la")):
+        if not c or not os.path.isdir(c):
+            continue
+        try:
+            return metrla_from_files(c), True
+        except FileNotFoundError:
+            continue
+    return None, False
 
 
 def planetoid_from_files(path: str) -> NodeClassificationData:

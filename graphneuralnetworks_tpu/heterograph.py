@@ -315,34 +315,68 @@ def add_self_loops_hetero(g: HeteroGraphTuple,
     tup = (s, r)
     if w is not None:
         tup = tup + (np.concatenate([np.asarray(w)[:ne], np.ones(n)]),)
-    rels = {et: ((np.asarray(rr.senders)[: int(rr.num_edges)],
-                  np.asarray(rr.receivers)[: int(rr.num_edges)])
-                 + ((np.asarray(rr.edge_weight)[: int(rr.num_edges)],)
-                    if rr.edge_weight is not None else ()))
-            for et, rr in g.relations.items()}
+    rels = _rels_as_tuples(g)
     rels[etype] = tup
+    edata = _edata_dict(g)
+    if edata.get(etype):
+        # new self-loop edges get zero features (the reference carries the
+        # old edata unchanged, leaving it shorter than the edge list —
+        # transform.jl:56; the static-shape invariant here requires
+        # leading-dim == num_edges, so zero-fill instead)
+        edata[etype] = {
+            k: np.concatenate([v, np.zeros((n,) + v.shape[1:], v.dtype)])
+            for k, v in edata[etype].items()}
     return heterograph(
         rels,
         num_nodes={t: int(v) for t, v in g.num_nodes.items()},
-        node_data={t: {k: np.asarray(v)[: int(g.num_nodes[t])]
-                       for k, v in d.items()}
-                   for t, d in g.node_data.items()},
+        node_data=_ndata_dict(g), edge_data=edata,
         graph_data=g.graph_data)
 
 
-def add_edges_hetero(g: HeteroGraphTuple, etype: EType, senders, receivers,
-                     *, edge_weight=None) -> HeteroGraphTuple:
-    """Append edges to one relation (creating it if absent)
-    (gnnheterograph/transform.jl:92-163)."""
-    rels = {et: ((np.asarray(rr.senders)[: int(rr.num_edges)],
+def _rels_as_tuples(g: HeteroGraphTuple) -> dict:
+    """Unpad every relation back to (s, r[, w]) host tuples."""
+    return {et: ((np.asarray(rr.senders)[: int(rr.num_edges)],
                   np.asarray(rr.receivers)[: int(rr.num_edges)])
                  + ((np.asarray(rr.edge_weight)[: int(rr.num_edges)],)
                     if rr.edge_weight is not None else ()))
             for et, rr in g.relations.items()}
+
+
+def _edata_dict(g: HeteroGraphTuple) -> dict:
+    """Unpad per-relation edge features (sorted order, matching
+    :func:`_rels_as_tuples`)."""
+    return {et: {k: np.asarray(v)[: int(rr.num_edges)]
+                 for k, v in rr.data.items()}
+            for et, rr in g.relations.items()}
+
+
+def _ndata_dict(g: HeteroGraphTuple) -> dict:
+    return {t: {k: np.asarray(v)[: int(g.num_nodes[t])]
+                for k, v in d.items()}
+            for t, d in g.node_data.items()}
+
+
+def add_edges_hetero(g: HeteroGraphTuple, etype: EType, senders, receivers,
+                     *, edge_weight=None, edata=None) -> HeteroGraphTuple:
+    """Append edges to one relation (creating it if absent)
+    (gnnheterograph/transform.jl:92-163). ``edata``: optional feature dict
+    (or single array -> ``"e"``) for the NEW edges; concatenated with the
+    relation's existing features, zero-filling whichever side lacks a key
+    (the reference cat_features semantics, transform.jl:130-136)."""
+    rels = _rels_as_tuples(g)
+    all_edata = _edata_dict(g)
     s2 = np.asarray(senders, np.int32)
     r2 = np.asarray(receivers, np.int32)
+    if edata is not None and not isinstance(edata, Mapping):
+        edata = {"e": edata}
+    new_edata = {k: np.asarray(v) for k, v in (edata or {}).items()}
+    for k, v in new_edata.items():
+        if v.shape[0] != len(s2):
+            raise ValueError(f"edata {k!r} leading dim {v.shape[0]} != "
+                             f"{len(s2)} new edges")
     if etype in rels:
         old = rels[etype]
+        ne_old = len(old[0])
         s = np.concatenate([old[0], s2])
         r = np.concatenate([old[1], r2])
         if len(old) > 2 or edge_weight is not None:
@@ -352,15 +386,25 @@ def add_edges_hetero(g: HeteroGraphTuple, etype: EType, senders, receivers,
             rels[etype] = (s, r, np.concatenate([ow, nw]))
         else:
             rels[etype] = (s, r)
+        old_edata = all_edata.get(etype, {})
+        merged = {}
+        for k in {*old_edata, *new_edata}:
+            ov = old_edata.get(k)
+            nv = new_edata.get(k)
+            if ov is None:
+                ov = np.zeros((ne_old,) + nv.shape[1:], nv.dtype)
+            if nv is None:
+                nv = np.zeros((len(s2),) + ov.shape[1:], ov.dtype)
+            merged[k] = np.concatenate([ov, nv])
+        all_edata[etype] = merged
     else:
         rels[etype] = ((s2, r2) if edge_weight is None
                        else (s2, r2, np.asarray(edge_weight)))
+        all_edata[etype] = new_edata
     return heterograph(
         rels,
         num_nodes={t: int(v) for t, v in g.num_nodes.items()},
-        node_data={t: {k: np.asarray(v)[: int(g.num_nodes[t])]
-                       for k, v in d.items()}
-                   for t, d in g.node_data.items()},
+        node_data=_ndata_dict(g), edge_data=all_edata,
         graph_data=g.graph_data)
 
 
@@ -383,11 +427,13 @@ def batch_hetero(graphs: Sequence[HeteroGraphTuple]) -> HeteroGraphTuple:
                 [np.asarray(g.node_data[t][k])[: int(g.num_nodes[t])]
                  for g in graphs])
         ndata[t] = feats
+    edata = {}
     for et in etypes:
         src_t, _, dst_t = et
         ss, rs, ws = [], [], []
         s_off = d_off = 0
         any_w = any(g.relations[et].edge_weight is not None for g in graphs)
+        efeats = {k: [] for k in graphs[0].relations[et].data}
         for g in graphs:
             rel = g.relations[et]
             ne = int(rel.num_edges)
@@ -397,10 +443,21 @@ def batch_hetero(graphs: Sequence[HeteroGraphTuple]) -> HeteroGraphTuple:
                 w = (np.asarray(rel.edge_weight)[:ne]
                      if rel.edge_weight is not None else np.ones(ne))
                 ws.append(w)
+            for k, acc in efeats.items():
+                acc.append(np.asarray(rel.data[k])[:ne])
             s_off += int(g.num_nodes[src_t])
             d_off += int(g.num_nodes[dst_t])
         tup = (np.concatenate(ss), np.concatenate(rs))
         if any_w:
             tup = tup + (np.concatenate(ws),)
         rels[et] = tup
-    return heterograph(rels, num_nodes=nnodes, node_data=ndata)
+        if efeats:
+            edata[et] = {k: np.concatenate(v) for k, v in efeats.items()}
+    # graph-level features concatenate on the leading (graph) axis
+    # (transform.jl:228 cat_features over gdata)
+    gdata = {}
+    for k in graphs[0].graph_data:
+        gdata[k] = np.concatenate(
+            [np.atleast_1d(np.asarray(g.graph_data[k])) for g in graphs])
+    return heterograph(rels, num_nodes=nnodes, node_data=ndata,
+                       edge_data=edata or None, graph_data=gdata or None)

@@ -981,10 +981,14 @@ class DConv(GNNLayer):
             x = g.x
         W = self.weights[...]
         gt = g.reverse()
-        ew = g.edge_weight
 
         def prop(graph, xj):
-            return propagate(w_mul_xj, graph, "sum", xj=xj, e=ew)
+            # e=None lets each graph view supply ITS OWN edge weights
+            # (msgpass.jl:223-238 get_edge_weight semantics): for a plain
+            # GraphTuple reverse() keeps edge order so this equals passing
+            # g.edge_weight; for a mesh-sharded view the reverse partition
+            # carries re-ordered weights that an explicit pass would break.
+            return propagate(w_mul_xj, graph, "sum", xj=xj)
 
         h = x @ W[0, 0] + x @ W[1, 0]
         T0 = x

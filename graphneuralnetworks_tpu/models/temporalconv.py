@@ -291,6 +291,18 @@ class A3TGCN(GNNLayer):
 
     def __call__(self, g: GraphTuple, x, state=None):
         h = self.tgcn(g, x, state)               # [T, N, out]
+        if isinstance(h, (list, tuple)):
+            # TemporalGraph inputs: GNNRecurrence returns a per-snapshot
+            # list (the reference's vector-of-matrices form); the attention
+            # needs one [T, N, out] tensor, so the snapshots must share a
+            # padded capacity (build with uniform n_pad, or via
+            # TemporalGraph.stacked())
+            shapes = {tuple(t.shape) for t in h}
+            if len(shapes) != 1:
+                raise ValueError(
+                    "A3TGCN over a TemporalGraph needs uniform per-snapshot "
+                    f"shapes for the time-softmax; got {sorted(shapes)}")
+            h = jnp.stack(h)
         e = self.dense2(self.dense1(h))
         a = jax.nn.softmax(e, axis=0)            # attention over time
         return jnp.sum(a * h, axis=0)            # [N, out]

@@ -370,20 +370,34 @@ def _spmm_bwd(n_pads, res, dy):
     if w is None:
         dw = None
     else:
-        # dw_e = <dy[r_e], x[s_e]> (SDDMM), recovered from the grouping.
-        xg = x[aux_fwd.senders_grp]                       # [blk, BE, D]
-        recv_rows = aux_fwd.recv_local + aux_fwd.block_rows[:, None] * BN
-        recv_rows = jnp.where(aux_fwd.recv_local >= 0, recv_rows, 0)
-        dyg = dy[recv_rows]
-        contrib = jnp.sum(xg * dyg, -1)
-        contrib = jnp.where(aux_fwd.recv_local >= 0, contrib, 0.0)
-        # width-1 scatter-add: widen to 2 lanes (same pathology as
-        # width-1 gathers; see ops/segment.py:gather)
-        c2 = jnp.broadcast_to(contrib.reshape(-1, 1).astype(w.dtype),
-                              (contrib.size, 2))
-        dw = jnp.zeros((w.shape[0], 2), w.dtype).at[
-            aux_fwd.edge_perm.reshape(-1)].add(c2, mode="drop")[:, 0]
-        dw = dw.at[-1].set(0.0)
+        # dw_e = <dy[r_e], x[s_e]> — an SDDMM in original edge order.
+        # (The previous formulation gathered BOTH endpoint rows into
+        # grouped space and scattered the dots back with a width-2
+        # scatter-add: ~118ms at 2M edges/D=128 vs 6.3ms forward. Both
+        # paths below come back to edge order through the precomputed
+        # inverse permutation — a GATHER, never a scatter.)
+        from .sddmm import _sddmm_impl
+        e_pad = aux_fwd.edge_slot.shape[0]
+        if x.shape[1] > 256:
+            # wide features: the grouped kernel (receiver rows ride the
+            # output block, only the sender side pays a gather)
+            dots = _sddmm_impl(dy, x, aux_fwd, e_pad)
+        else:
+            # narrow features: two plain edge-order gathers win (same
+            # crossover as ops/msgpass.apply_edges). Edge-order endpoint
+            # ids are recovered from the grouping via edge_slot.
+            total = aux_fwd.n_eblk * aux_fwd.senders_grp.shape[1]
+            zero = jnp.zeros((1,), jnp.int32)
+            s_e = jnp.concatenate(
+                [aux_fwd.senders_grp.reshape(-1), zero])[aux_fwd.edge_slot]
+            r_flat = (aux_fwd.block_rows[:, None] * BN
+                      + jnp.maximum(aux_fwd.recv_local, 0)).reshape(-1)
+            r_e = jnp.concatenate([r_flat, zero])[aux_fwd.edge_slot]
+            from ..segment import gather as _gather
+            dots = jnp.sum(_gather(dy, r_e) * _gather(x, s_e), -1)
+            dots = jnp.where(aux_fwd.edge_slot >= total, 0.0, dots)
+        dw = jnp.concatenate([dots.astype(w.dtype),
+                              jnp.zeros((1,), w.dtype)])
     return dx, dw, None
 
 

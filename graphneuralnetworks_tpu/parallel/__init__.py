@@ -2,9 +2,11 @@
 
 from .partition import PartitionedGraph, partition_graph
 from .shard import (halo_propagate_local, make_sharded_propagate,
-                    make_sharded_apply, shard_partitioned)
+                    make_sharded_apply, shard_partitioned, stack_partitions,
+                    make_mesh_train_step)
 from .shardgraph import ShardGraph, shard_graph_local
 
 __all__ = ["PartitionedGraph", "partition_graph", "halo_propagate_local",
            "make_sharded_propagate", "make_sharded_apply",
-           "shard_partitioned", "ShardGraph", "shard_graph_local"]
+           "shard_partitioned", "stack_partitions", "make_mesh_train_step",
+           "ShardGraph", "shard_graph_local"]

@@ -56,6 +56,12 @@ class PartitionedGraph:
     # halo-buffer slot — the local aggregation then rides the Pallas
     # scatter-matmul inside shard_map (fixed block counts so shards stack).
     spmm_aux: tuple | None = None
+    # optional partition of the REVERSED graph (same node ownership, edges
+    # re-partitioned by original sender) — unlocks reverse-direction
+    # propagation (DConv / DCGRU bidirectional diffusion) under the mesh:
+    # ShardGraph.reverse() swaps to this view. Built by
+    # partition_graph(..., with_reverse=True).
+    reverse_pg: "PartitionedGraph | None" = None
     num_parts: int = dataclasses.field(default=1, metadata=dict(static=True))
     n_local: int = dataclasses.field(default=0, metadata=dict(static=True))
     e_local: int = dataclasses.field(default=0, metadata=dict(static=True))
@@ -83,7 +89,8 @@ def partition_graph(g: GraphTuple, num_parts: int, *,
                     n_local: int | None = None,
                     e_local: int | None = None,
                     h_max: int | None = None,
-                    build_spmm_aux: bool = False) -> PartitionedGraph:
+                    build_spmm_aux: bool = False,
+                    with_reverse: bool = False) -> PartitionedGraph:
     """Partition a graph for `shard_map` message passing.
 
     ``parts``: optional int[num_nodes] node->shard assignment (e.g. from a
@@ -215,8 +222,24 @@ def partition_graph(g: GraphTuple, num_parts: int, *,
         stack = lambda xs: jax.tree.map(lambda *a: jnp.stack(a), *xs)
         aux = (stack(fwds), stack(revs))
 
+    rev_pg = None
+    if with_reverse:
+        # partition the REVERSED graph with the SAME node ownership (so
+        # per-shard owned rows align) — reverse edges live on their
+        # receiver's (= original sender's) shard
+        from ..graph import graph as _build_graph
+        g_rev = _build_graph(r, s, num_nodes=nn, edge_weight=w)
+        rev_pg = partition_graph(g_rev, num_parts, parts=parts,
+                                 node_multiple=node_multiple,
+                                 edge_multiple=edge_multiple,
+                                 n_local=n_local,
+                                 build_spmm_aux=build_spmm_aux)
+        if (np.asarray(rev_pg.node_global) != node_global).any():
+            raise AssertionError("reverse partition node ownership mismatch")
+
     return PartitionedGraph(
         spmm_aux=aux,
+        reverse_pg=rev_pg,
         node_global=jnp.asarray(node_global),
         node_mask=jnp.asarray(node_mask),
         recv_local=jnp.asarray(recv_local),

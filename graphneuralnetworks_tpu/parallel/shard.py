@@ -28,7 +28,8 @@ from .partition import PartitionedGraph
 from .shardgraph import shard_graph_local
 
 __all__ = ["halo_propagate_local", "make_sharded_propagate",
-           "make_sharded_apply", "shard_partitioned"]
+           "make_sharded_apply", "shard_partitioned", "stack_partitions",
+           "make_mesh_train_step"]
 
 
 def halo_propagate_local(x_local: jax.Array, pg_local: PartitionedGraph,
@@ -127,3 +128,121 @@ def make_sharded_apply(mesh: Mesh, pg: PartitionedGraph,
         return jax.tree.map(lambda a: a[None], y)
 
     return run
+
+
+def stack_partitions(pgs):
+    """Stack per-replica :class:`PartitionedGraph`\\ s on a leading data
+    axis (all must share (num_parts, n_local, e_local, h_max) — pass the
+    forced-capacity kwargs to :func:`~.partition.partition_graph`)."""
+    return jax.tree.map(lambda *a: jnp.stack(a), *pgs)
+
+
+def make_mesh_train_step(model, tx, mesh, pg, local_loss, *,
+                         data_axis: str | None = "data",
+                         graph_axis: str = "graph",
+                         use_spmm_aux: bool = True,
+                         donate: bool = True):
+    """Public dp x graph-partitioned training step (SURVEY §2.6 item 3).
+
+    Composes **batch data parallelism** over independent partitioned graphs
+    (mesh axis ``data_axis``) with **edge-partitioned message passing**
+    (halo all_to_all over ``graph_axis``) into one jitted step — the
+    pattern previously hand-rolled in ``__graft_entry__.dryrun_multichip``,
+    promoted to a reusable API. The reference has no distributed execution
+    (SURVEY §2.6); this is the net-new capability.
+
+    Args:
+      model: an nnx module (e.g. ``models.GNNChain``) — consumed via
+        ``nnx.split``; parameters are replicated across the mesh.
+      tx: an optax transformation.
+      mesh: a ``jax.sharding.Mesh`` whose axis names include ``graph_axis``
+        and (unless ``data_axis=None``) ``data_axis``.
+      pg: a template :class:`~.partition.PartitionedGraph` — stacked on a
+        leading data axis via :func:`stack_partitions` when ``data_axis``
+        is set. Only its pytree STRUCTURE is read here; pass the actual
+        (identically-structured) graph to every ``step`` call — graphs ride
+        as jit *arguments*, never closure constants.
+      local_loss: ``local_loss(model, sg, *batch_local) -> (loss_sum,
+        weight)`` — this shard's un-normalized loss contribution and its
+        weight (e.g. masked node count). The step psums both over all mesh
+        axes and minimizes ``sum(loss_sum) / max(sum(weight), 1)``.
+      donate: donate the params/opt-state buffers to the step (no
+        re-allocation per step; default on).
+
+    Returns ``(step, params, opt_state)`` with
+    ``step(params, opt_state, pg, *batch) -> (params, opt_state, loss)``.
+    Batch arrays carry leading mesh axes ``[dp, P, n_local, ...]`` (or
+    ``[P, n_local, ...]`` with ``data_axis=None``); build them with
+    ``np.stack([pg_i.scatter_nodes(x_i) for ...])``.
+
+    Gradients flow through the halo collectives by JAX AD; because the loss
+    is psum'd *inside* ``value_and_grad`` of replicated params, the
+    resulting grads are already identical on every device — no separate
+    pmean.
+    """
+    from flax import nnx
+    import optax
+
+    if graph_axis not in mesh.axis_names:
+        raise ValueError(f"mesh has no axis {graph_axis!r}")
+    if data_axis is not None and data_axis not in mesh.axis_names:
+        raise ValueError(f"mesh has no axis {data_axis!r} "
+                         "(pass data_axis=None for graph-only sharding)")
+    axes = ((data_axis, graph_axis) if data_axis is not None
+            else (graph_axis,))
+    batch_spec = P(*axes)
+    pg_specs = jax.tree_util.tree_map(lambda _: batch_spec, pg)
+    all_axes = axes
+    n_outer = len(axes) - 1   # leading axes to strip before the graph axis
+
+    graphdef, params = nnx.split(model)
+    opt_state = tx.init(params)
+
+    def train_step(params, opt_state, pg_l, *batch_l):
+        def strip(a):
+            for _ in range(n_outer):
+                a = a[0]
+            return a
+
+        pg_local = jax.tree_util.tree_map(strip, pg_l)
+        sg = shard_graph_local(pg_local, graph_axis,
+                               use_spmm_aux=use_spmm_aux)
+        batch_local = tuple(jax.tree.map(lambda a: strip(a)[0], b)
+                            for b in batch_l)
+
+        def loss_fn(p):
+            m = nnx.merge(graphdef, p)
+            loss_sum, weight = local_loss(m, sg, *batch_local)
+            loss_sum = jax.lax.psum(loss_sum, all_axes)
+            weight = jax.lax.psum(weight, all_axes)
+            return loss_sum / jnp.maximum(weight, 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # inside shard_map, AD through the psum'd loss leaves device i with
+        # N/W * d(s_i)/dθ — its LOCAL contribution scaled by the device
+        # count (the transpose of psum is psum: the 1/W cotangent is
+        # re-summed to N/W before flowing into each local summand). pmean
+        # therefore reconstructs the exact global gradient (1/W) * dS/dθ
+        # and makes every replica's update identical.
+        grads = jax.tree.map(lambda t: jax.lax.pmean(t, all_axes), grads)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_opt, loss
+
+    def make(nbatch):
+        sm = functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(), P(), pg_specs) + (batch_spec,) * nbatch,
+            out_specs=(P(), P(), P()), check_vma=False)
+        return jax.jit(sm(train_step),
+                       donate_argnums=(0, 1) if donate else ())
+
+    cache: dict[int, Callable] = {}
+
+    def step(params, opt_state, pg_arg, *batch):
+        fn = cache.get(len(batch))
+        if fn is None:
+            fn = cache[len(batch)] = make(len(batch))
+        return fn(params, opt_state, pg_arg, *batch)
+
+    return step, params, opt_state

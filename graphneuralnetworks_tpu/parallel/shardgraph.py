@@ -56,6 +56,9 @@ class ShardGraph:
     # per-shard (aux_fwd, aux_rev) SpmmAux slice: fwd groups local edges by
     # local receiver with halo-buffer value rows (partition.py builds it)
     spmm_aux: tuple | None = None
+    # the REVERSED graph's shard view (same node ownership; built when the
+    # partition was created with with_reverse=True) — reverse() swaps to it
+    reverse_view: "ShardGraph | None" = None
     axis: str = dataclasses.field(default="graph", metadata=dict(static=True))
     num_parts: int = dataclasses.field(default=1, metadata=dict(static=True))
     h_max: int = dataclasses.field(default=1, metadata=dict(static=True))
@@ -91,10 +94,17 @@ class ShardGraph:
         return jnp.int32(1)
 
     def reverse(self):
-        raise NotImplementedError(
-            "ShardGraph.reverse: reverse-direction propagation needs a "
-            "partition of the reverse graph — partition g.reverse() "
-            "separately (DConv-style layers are not shard-transparent)")
+        """The reversed graph's shard view (same owned nodes, reverse edges
+        partitioned by THEIR receiver = the original sender), sharing this
+        view's node features. Requires the partition to have been built
+        with ``partition_graph(..., with_reverse=True)`` — unlocks
+        DConv/DCGRU bidirectional diffusion under the mesh."""
+        if self.reverse_view is None:
+            raise NotImplementedError(
+                "ShardGraph.reverse: partition the graph with "
+                "partition_graph(..., with_reverse=True) to enable "
+                "reverse-direction propagation under the mesh")
+        return dataclasses.replace(self.reverse_view, nodes=self.nodes)
 
     # ---- the halo exchange ---------------------------------------------------
     def src_space(self, v: jax.Array) -> jax.Array:
@@ -133,7 +143,12 @@ def shard_graph_local(pg_local: PartitionedGraph, axis: str,
     aux = None
     if use_spmm_aux and pg_local.spmm_aux is not None:
         aux = jax.tree.map(lambda a: a[0], pg_local.spmm_aux)
+    rev = None
+    if pg_local.reverse_pg is not None:
+        rev = shard_graph_local(pg_local.reverse_pg, axis,
+                                use_spmm_aux=use_spmm_aux)
     return ShardGraph(
+        reverse_view=rev,
         senders=pg_local.send_halo_idx[0],
         receivers=pg_local.recv_local[0],
         edge_mask=pg_local.edge_mask[0],

@@ -62,7 +62,24 @@ def degree(g: GraphTuple, *, dir: str = "out", edge_weight=None,
     mask = g.edge_mask
     out = 0
     if dir in ("out", "both"):
-        out = out + segment_sum(w, g.senders, g.n_pad, mask=mask)
+        if hasattr(g, "src_space"):
+            # mesh-sharded view: senders index the halo buffer, so a direct
+            # segment-sum lands in the wrong space. Out-degree of owned
+            # nodes == in-degree on the REVERSED partition, which is
+            # receiver-keyed and therefore local math (shardgraph.py).
+            if edge_weight is not None and edge_weight is not False:
+                raise ValueError(
+                    "out-degree on a mesh-sharded view cannot take explicit "
+                    "edge weights (edge order differs on the reverse "
+                    "partition); use the graph's own edge_weight")
+            gr = g.reverse()
+            wr = (jnp.ones((gr.e_pad,), dtype) if gr.edge_weight is None
+                  or ew is None else gr.edge_weight.astype(dtype))
+            out = out + segment_sum(wr, gr.receivers, gr.n_pad,
+                                    mask=gr.edge_mask,
+                                    sorted=gr.sorted_by_receivers)
+        else:
+            out = out + segment_sum(w, g.senders, g.n_pad, mask=mask)
     if dir in ("in", "both"):
         out = out + segment_sum(w, g.receivers, g.n_pad, mask=mask,
                                 sorted=g.sorted_by_receivers)
@@ -80,6 +97,14 @@ def adjacency_matrix(g: GraphTuple, *, dtype=jnp.float32,
     accumulate (convert.jl:165-189 semantics); differentiable w.r.t. edge
     weights only.
     """
+    if g.n_pad > 46341:   # floor(sqrt(2^31 - 1))
+        # the linearized scatter index below would overflow int32 (and
+        # int64 silently downcasts without jax_enable_x64); a dense [N, N]
+        # at this size is >8GB anyway — callers must use the sparse path
+        raise ValueError(
+            f"adjacency_matrix: n_pad={g.n_pad} > 46341 would overflow the "
+            "int32 linear index (and the dense matrix itself would be "
+            ">8GB); dense queries are small-graph-only")
     w = (g.edge_weight.astype(dtype)
          if (weighted and g.edge_weight is not None)
          else jnp.ones((g.e_pad,), dtype))

@@ -245,7 +245,7 @@ class NeighborLoader:
                  input_nodes=None, batch_size: int = 32,
                  replace: bool = False, shuffle: bool = True,
                  seed: int = 0, build_spmm_aux: bool = False,
-                 minimal_batch: bool = False):
+                 minimal_batch: bool = False, csr=None):
         self.g = g
         self.build_spmm_aux = build_spmm_aux
         # minimal_batch: ship only the index arrays the train step needs
@@ -261,16 +261,23 @@ class NeighborLoader:
         self.input_nodes = (np.arange(nn, dtype=np.int64)
                             if input_nodes is None
                             else np.asarray(input_nodes, np.int64))
-        ne = int(g.num_edges)
-        self._s = np.asarray(g.senders)[:ne]
-        self._r = np.asarray(g.receivers)[:ne]
-        order, self._ptr = _csr_by(self._r, nn)
-        # latency-friendly CSR layout for the native sampler: int32 senders
-        # and edge ids in CSR position order (two independent loads per
-        # sampled edge instead of the order->senders dependent chain)
-        self._csr_send = self._s[order].astype(np.int32)
-        self._csr_eid = order.astype(np.int32)
-        del order
+        if csr is not None:
+            # prebuilt in-CSR (see from_csr) — skips the argsort pass
+            self._csr_send, self._csr_eid, self._ptr = (
+                np.ascontiguousarray(csr[0], np.int32),
+                np.ascontiguousarray(csr[1], np.int32),
+                np.ascontiguousarray(csr[2], np.int64))
+        else:
+            ne = int(g.num_edges)
+            s = np.asarray(g.senders)[:ne]
+            r = np.asarray(g.receivers)[:ne]
+            order, self._ptr = _csr_by(r, nn)
+            # latency-friendly CSR layout for the native sampler: int32
+            # senders and edge ids in CSR position order (two independent
+            # loads per sampled edge instead of the order->senders chain)
+            self._csr_send = s[order].astype(np.int32)
+            self._csr_eid = order.astype(np.int32)
+            del order
 
         # worst-case capacities
         max_nodes = self.batch_size
@@ -282,6 +289,26 @@ class NeighborLoader:
             max_nodes += frontier
         self.n_pad = round_up(max_nodes + 1, 8)
         self.e_pad = round_up(max(max_edges, 1), 128)
+
+    @classmethod
+    def from_csr(cls, csr_send, csr_eid, ptr, *, num_nodes=None,
+                 **kw) -> "NeighborLoader":
+        """Build a loader from a prebuilt incoming-edge CSR.
+
+        ``csr_send[ptr[v]:ptr[v+1]]`` are the senders of v's in-edges and
+        ``csr_eid`` the matching original edge ids (the layout ``__init__``
+        derives with an argsort — at ogbn scale that pass takes ~30s on a
+        small host, so production pipelines and bench.py cache these three
+        arrays on disk and skip it).
+        """
+        from types import SimpleNamespace
+        ptr = np.asarray(ptr)
+        n = int(num_nodes) if num_nodes is not None else len(ptr) - 1
+        e = int(len(csr_send))
+        shim = SimpleNamespace(num_nodes=n, num_edges=e, senders=None,
+                               receivers=None, nodes={}, edges={},
+                               edge_weight=None)
+        return cls(shim, csr=(csr_send, csr_eid, ptr), **kw)
 
     def __len__(self):
         return (len(self.input_nodes) + self.batch_size - 1) \

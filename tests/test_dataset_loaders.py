@@ -117,3 +117,148 @@ def test_load_cora_uses_real_when_present(tmp_path, monkeypatch):
     data, is_real = load_cora()
     assert not is_real
     assert int(data.graph.num_nodes) == 2708
+
+
+# ---- OGB-format loader (BASELINE.md north-star dataset layout) -------------
+
+def _write_ogbn_raw(d):
+    os.makedirs(os.path.join(d, "raw"))
+    os.makedirs(os.path.join(d, "split", "sales_ranking"))
+    import gzip
+    # 6 nodes, 8 directed edges
+    edges = [(0, 1), (1, 0), (2, 1), (3, 4), (4, 5), (5, 3), (0, 5), (2, 4)]
+    with gzip.open(os.path.join(d, "raw", "edge.csv.gz"), "wt") as f:
+        f.writelines(f"{a},{b}\n" for a, b in edges)
+    with gzip.open(os.path.join(d, "raw", "node-feat.csv.gz"), "wt") as f:
+        f.writelines(f"{i * 0.5},{i * 1.5},{-i * 1.0}\n" for i in range(6))
+    with gzip.open(os.path.join(d, "raw", "node-label.csv.gz"), "wt") as f:
+        f.write("0\n1\n2\n1\n0\n2\n")
+    sp = os.path.join(d, "split", "sales_ranking")
+    with gzip.open(os.path.join(sp, "train.csv.gz"), "wt") as f:
+        f.write("0\n1\n2\n3\n")
+    with gzip.open(os.path.join(sp, "valid.csv.gz"), "wt") as f:
+        f.write("4\n")
+    with gzip.open(os.path.join(sp, "test.csv.gz"), "wt") as f:
+        f.write("5\n")
+
+
+def test_ogbn_from_files_raw_csv(tmp_path):
+    from graphneuralnetworks_tpu.data.datasets import ogbn_from_files
+    _write_ogbn_raw(str(tmp_path))
+    d = ogbn_from_files(str(tmp_path))
+    assert d.num_nodes == 6 and len(d.senders) == 8
+    np.testing.assert_array_equal(d.senders[:3], [0, 1, 2])
+    np.testing.assert_array_equal(d.receivers[:3], [1, 0, 1])
+    assert d.x.shape == (6, 3)
+    np.testing.assert_allclose(d.x[2], [1.0, 3.0, -2.0])
+    np.testing.assert_array_equal(d.y, [0, 1, 2, 1, 0, 2])
+    np.testing.assert_array_equal(d.splits["train"], [0, 1, 2, 3])
+    np.testing.assert_array_equal(d.splits["test"], [5])
+
+
+def test_ogbn_from_files_npz_roundtrip(tmp_path):
+    from graphneuralnetworks_tpu.data.datasets import ogbn_from_files
+    _write_ogbn_raw(str(tmp_path))
+    ref = ogbn_from_files(str(tmp_path))
+    np.savez(tmp_path / "ogbn.npz",
+             edge_index=np.stack([ref.senders, ref.receivers]),
+             node_feat=ref.x, node_label=ref.y,
+             train_idx=ref.splits["train"], valid_idx=ref.splits["valid"],
+             test_idx=ref.splits["test"])
+    d = ogbn_from_files(str(tmp_path))   # npz now preferred
+    np.testing.assert_array_equal(d.senders, ref.senders)
+    np.testing.assert_allclose(d.x, ref.x)
+    np.testing.assert_array_equal(d.splits["valid"], [4])
+
+
+def test_ogbn_feeds_neighbor_loader(tmp_path):
+    from types import SimpleNamespace
+    from graphneuralnetworks_tpu.data.datasets import ogbn_from_files
+    from graphneuralnetworks_tpu.sampling import NeighborLoader
+    _write_ogbn_raw(str(tmp_path))
+    d = ogbn_from_files(str(tmp_path))
+    shim = SimpleNamespace(num_nodes=d.num_nodes, num_edges=len(d.senders),
+                           senders=d.senders, receivers=d.receivers,
+                           nodes={}, edges={}, edge_weight=None)
+    loader = NeighborLoader(shim, num_neighbors=[2], batch_size=2,
+                            input_nodes=d.splits["train"], seed=0)
+    batches = list(loader)
+    assert len(batches) == 2
+    for gb in batches:
+        nid = np.asarray(gb.nodes["NID"])[:int(gb.num_nodes)]
+        assert nid.max() < d.num_nodes
+
+
+def test_load_ogbn_products_absent_is_graceful(monkeypatch, tmp_path):
+    from graphneuralnetworks_tpu.data.datasets import load_ogbn_products
+    monkeypatch.setenv("GNN_OGBN_PRODUCTS_DIR", str(tmp_path / "nope"))
+    monkeypatch.chdir(tmp_path)
+    data, is_real = load_ogbn_products()
+    assert data is None and is_real is False
+
+
+# ---- METRLA-format loader (traffic_prediction_metrla.jl dataset) -----------
+
+def _write_metrla_h5(d, T=12, N=5):
+    import h5py
+    rng = np.random.default_rng(0)
+    sig = rng.standard_normal((T, N)).astype(np.float32) * 10 + 60
+    # pandas fixed-format layout: df/axis0 (columns), axis1 (index),
+    # block0_values
+    with h5py.File(os.path.join(d, "metr-la.h5"), "w") as f:
+        g = f.create_group("df")
+        g.create_dataset("axis0", data=np.arange(N))
+        g.create_dataset("axis1", data=np.arange(T) * 300)
+        g.create_dataset("block0_values", data=sig)
+    adj = np.zeros((N, N), np.float32)
+    ring = np.arange(N)
+    adj[ring, (ring + 1) % N] = 0.8
+    adj[ring, ring] = 1.0
+    with open(os.path.join(d, "adj_mx.pkl"), "wb") as f:
+        pickle.dump((list(range(N)), {i: i for i in range(N)}, adj), f)
+    return sig, adj
+
+
+def test_metrla_from_files_h5(tmp_path):
+    from graphneuralnetworks_tpu.data.datasets import metrla_from_files
+    sig, adj = _write_metrla_h5(str(tmp_path))
+    d = metrla_from_files(str(tmp_path))
+    assert d.num_nodes == 5
+    assert d.signal.shape == (12, 5, 1)
+    np.testing.assert_allclose(d.signal[:, :, 0], sig)
+    assert len(d.senders) == int((adj != 0).sum())
+    # edge weights carry the adjacency values
+    w = dict(zip(zip(d.senders.tolist(), d.receivers.tolist()),
+                 d.edge_weight.tolist()))
+    assert abs(w[(0, 1)] - 0.8) < 1e-6 and abs(w[(0, 0)] - 1.0) < 1e-6
+    assert d.timestamps is not None and len(d.timestamps) == 12
+
+
+def test_metrla_from_files_npz(tmp_path):
+    from graphneuralnetworks_tpu.data.datasets import metrla_from_files
+    rng = np.random.default_rng(1)
+    sig = rng.standard_normal((8, 4, 2)).astype(np.float32)
+    adj = np.eye(4, dtype=np.float32)
+    np.savez(tmp_path / "metrla.npz", signal=sig, adj=adj)
+    d = metrla_from_files(str(tmp_path))
+    assert d.signal.shape == (8, 4, 2) and d.num_nodes == 4
+    np.testing.assert_array_equal(d.senders, d.receivers)
+
+
+def test_metrla_builds_temporal_graph(tmp_path):
+    # the loader output feeds the temporal layer family end to end
+    import jax
+    import graphneuralnetworks_tpu as gnn
+    from flax import nnx
+    from graphneuralnetworks_tpu import models as M
+    from graphneuralnetworks_tpu.data.datasets import metrla_from_files
+    _write_metrla_h5(str(tmp_path))
+    d = metrla_from_files(str(tmp_path))
+    g = gnn.graph(d.senders, d.receivers, num_nodes=d.num_nodes,
+                  edge_weight=d.edge_weight)
+    cell = M.TGCNCell(1, 4, rngs=nnx.Rngs(0))
+    sig = np.pad(d.signal, ((0, 0), (0, g.n_pad - d.num_nodes), (0, 0)))
+    h = None
+    for t in range(3):
+        h, out = cell(g, jax.numpy.asarray(sig[t]), h)
+    assert out.shape == (g.n_pad, 4)

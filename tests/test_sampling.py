@@ -142,3 +142,27 @@ def test_neighbor_loader_spmm_aux_one_trace():
         if i >= 3:
             break
     assert len(traces) == 1  # identical shapes -> single compilation
+
+
+def test_neighbor_loader_from_csr_matches_default():
+    # from_csr (the disk-cache path bench.py uses at ogbn scale) must
+    # produce identical batches to the in-place CSR build
+    import numpy as np
+    from graphneuralnetworks_tpu.sampling import NeighborLoader
+    import graphneuralnetworks_tpu as gnn
+    rng = np.random.default_rng(3)
+    n, e = 60, 240
+    g = gnn.graph(rng.integers(0, n, e), rng.integers(0, n, e), num_nodes=n)
+    kw = dict(num_neighbors=[3, 2], batch_size=8, seed=7,
+              input_nodes=np.arange(24), minimal_batch=True)
+    a = NeighborLoader(g, **kw)
+    b = NeighborLoader.from_csr(a._csr_send.copy(), a._csr_eid.copy(),
+                                a._ptr.copy(), num_nodes=n, **kw)
+    assert len(a) == len(b) and a.n_pad == b.n_pad and a.e_pad == b.e_pad
+    for ga, gb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(ga.senders),
+                                      np.asarray(gb.senders))
+        np.testing.assert_array_equal(np.asarray(ga.receivers),
+                                      np.asarray(gb.receivers))
+        np.testing.assert_array_equal(np.asarray(ga.nodes["NID"]),
+                                      np.asarray(gb.nodes["NID"]))
