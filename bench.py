@@ -42,14 +42,19 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE_DIR = os.path.join(REPO, ".bench_cache")
 
 # (deadline_s, attempts, required_key) per phase, in priority order: the
-# headline SpMM first, then the BASELINE.md north star, then the rest. A
-# phase is retried while its REQUIRED result is missing (setup-only partial
-# output doesn't count as done) and the global budget allows.
-PHASES = [("large", 360, 2, "large_xla"),
+# headline SpMM first, then the BASELINE.md north star, then the rest
+# (train last — its fwd+bwd+adam number is the most derivable from the
+# others). A phase is retried while its REQUIRED result is missing
+# (setup-only partial output doesn't count as done) and the global budget
+# allows. Deadlines sit ~2x the measured happy path (run 2: large 90s,
+# sage 230s warm-cache / +75s first build, sddmm_attn 90s, small 60s,
+# train 60s) so a wedged remote compile — the dominant failure mode,
+# roughly every other heavy subprocess — is cut and retried quickly.
+PHASES = [("large", 220, 3, "large_xla"),
           ("sage_epoch", 420, 2, "sage_epoch_s"),
-          ("train", 240, 2, "train"),
-          ("sddmm_attn", 300, 2, "attention"),
-          ("small", 240, 2, "small_xla")]
+          ("sddmm_attn", 220, 3, "attention"),
+          ("small", 150, 3, "small_xla"),
+          ("train", 180, 2, "train")]
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1050))
 
 # roofline constants: one v5e-class chip (the tunneled device).
@@ -505,7 +510,7 @@ def orchestrate():
                 break
             # a killed client can leave the remote compile service
             # draining its orphaned request; give it time to recover
-            time.sleep(min(60, max(0, remaining() - deadline / 2)))
+            time.sleep(min(45, max(0, remaining() - deadline / 2)))
         # re-print the headline after EVERY phase: the driver keeps the
         # last stdout line, so a later timeout can never destroy earlier
         # measurements (the round-2 failure mode)

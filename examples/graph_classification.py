@@ -29,13 +29,21 @@ def main():
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--buckets", type=int, default=2,
+                    help="size-quantile capacity buckets (one compiled "
+                         "shape each; cuts padding on size-skewed sets)")
     args = ap.parse_args()
 
     graphs, labels = synthetic_tudataset(188, seed=0)
     n_train = 150
     train_loader = DataLoader(graphs[:n_train], batch_size=args.batch_size,
-                              shuffle=True, seed=1)
-    test_loader = DataLoader(graphs[n_train:], batch_size=args.batch_size)
+                              shuffle=True, seed=1,
+                              num_buckets=args.buckets)
+    test_loader = DataLoader(graphs[n_train:], batch_size=args.batch_size,
+                             num_buckets=args.buckets)
+    stats = train_loader.padding_stats()
+    print(f"buckets={args.buckets} node_util={stats['node_util']:.2f} "
+          f"edge_util={stats['edge_util']:.2f}")
 
     nin, nh = 7, 64
     rngs = nnx.Rngs(0)

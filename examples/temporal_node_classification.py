@@ -1,9 +1,11 @@
 """Temporal graph example: TGCN on a time-varying node signal.
 
 Reference: GraphNeuralNetworks/examples/traffic_prediction_metrla.jl (TGCN
-regression on METR-LA) — here a seeded synthetic diffusion process on a
-random graph (no-network sandbox): the model must predict the next-step
-signal from a window of past steps.
+regression on METR-LA). Uses the REAL METR-LA sensor graph + speed signal
+when its files are on disk ($GNN_METRLA_DIR, see README "Real datasets");
+otherwise a seeded synthetic diffusion process on a random graph
+(no-network sandbox). Either way: predict the next-step signal from a
+window of past steps.
 """
 
 import os as _os
@@ -37,14 +39,32 @@ def make_series(g, T=200, seed=0):
     return np.stack(xs).astype(np.float32)  # [T, N]
 
 
+def load_data(max_steps=400):
+    """(graph, series [T, N_pad], is_real) — real METR-LA when on disk."""
+    from graphneuralnetworks_tpu.data.datasets import load_metrla
+    d, is_real = load_metrla()
+    if is_real:
+        g = gnn.graph(d.senders, d.receivers, num_nodes=d.num_nodes,
+                      edge_weight=d.edge_weight)
+        sig = d.signal[:max_steps, :, 0]
+        # z-score like the DCRNN/TGCN literature, pad to capacity
+        sig = (sig - sig.mean()) / max(sig.std(), 1e-6)
+        series = np.zeros((sig.shape[0], g.n_pad), np.float32)
+        series[:, :d.num_nodes] = sig
+        return g, series, True
+    g = gnn.rand_graph(128, 512, seed=0)
+    return g, make_series(g), False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--window", type=int, default=8)
     args = ap.parse_args()
 
-    g = gnn.rand_graph(128, 512, seed=0)
-    series = make_series(g)
+    g, series, is_real = load_data()
+    print(f"real dataset: {is_real}  nodes={int(g.num_nodes)} "
+          f"steps={len(series)}")
     W = args.window
     # windows: input [T', W, N, 1] -> predict the next step [T', N]
     xs, ys = [], []

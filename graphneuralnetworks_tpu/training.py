@@ -9,6 +9,7 @@ mesh (parallel/).
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
@@ -49,13 +50,21 @@ class TrainState:
                          else self.params, self.rest)
 
 
-def make_train_step(state: TrainState, loss_fn: Callable):
+def make_train_step(state: TrainState, loss_fn: Callable, *,
+                    donate: bool = True):
     """Build a jitted ``(params, opt_state, *batch) -> (params, opt_state,
-    loss)`` step. ``loss_fn(model, *batch) -> scalar``."""
+    loss)`` step. ``loss_fn(model, *batch) -> scalar``.
+
+    ``donate=True`` (default) donates the params/opt-state input buffers to
+    the step so XLA updates them in place — no per-step re-allocation of
+    the model+Adam state (2x params HBM at production sizes). Callers must
+    not reuse the donated arrays after the call (rebind, as the usual
+    ``params, opt_state, loss = step(params, opt_state, ...)`` does).
+    """
 
     graphdef, rest, tx = state.graphdef, state.rest, state.tx
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(params, opt_state, *batch):
         def lf(p):
             m = nnx.merge(graphdef, p, rest)
