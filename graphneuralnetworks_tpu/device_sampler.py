@@ -1,0 +1,205 @@
+"""Device-side fixed-fanout neighbor sampling: GraphSAGE minibatches
+built ON the TPU, with zero per-batch host->device traffic.
+
+Reference parity: the layered fixed-fanout semantics of
+GNNGraphs/src/samplers.jl:28-105 (``NeighborLoader``) and
+GNNGraphs/src/sampling.jl:68-118 (``sample_neighbors``, with replacement),
+re-designed for the TPU execution model instead of ported:
+
+The host :class:`~graphneuralnetworks_tpu.sampling.NeighborLoader` pipeline
+is bound by host sampling + per-batch index-array transfers (measured
+~108 ms/batch on the tunneled chip, sampler_util ~= 1.0). The key
+observation: with FIXED fanouts and no deduplication, the sampled
+subgraph's edge structure *in local slot space* is a compile-time
+constant — node slot ``i`` of layer ``l`` always receives from slots
+``off_l + i*k .. off_l + (i+1)*k - 1``. Only the slot -> global-node-id
+mapping (``NID``) changes between batches. So:
+
+- ``senders``/``receivers`` are structural constants living on device,
+  built once (receiver-sorted by construction);
+- the SpMM grouping (ops/pallas/spmm.SpmmAux) is batch-independent and
+  prebuilt once — no per-batch aux build at all;
+- per batch, the device gathers neighbor ids straight out of an
+  HBM-resident CSR (int32[E] ~ 0.5 GB at ogbn-products scale — fits);
+  the only per-batch inputs are the seed ids and an RNG key, and a whole
+  epoch's seeds can be shipped once as one [n_batches, B] array.
+
+Sampling semantics: WITH replacement (the reference's
+``sample_neighbors(..., replace=true)``), no dedup — a node reached twice
+occupies two slots and recomputes; correctness is unaffected and the MXU
+does not care. Nodes with zero in-degree produce edges with
+``edge_valid=False`` (a scattered, non-prefix mask — see
+graph.GraphTuple.edge_valid), and their sampled child slot falls back to
+the parent's own id so feature gathers stay benign.
+
+Usage (pass the sampler as a jit ARGUMENT — never a closure, the CSR
+would be baked into the HLO as a constant):
+
+    sampler = DeviceSampler.build(csr_send, ptr, fanouts=(15, 10),
+                                  batch_size=1024)
+
+    @jax.jit
+    def step(state, opt_state, sampler, key, seeds, X, y):
+        g = sampler.sample(key, seeds)      # all on device
+        nid = g.nodes["NID"]
+        logits = model(g, X[nid])[:sampler.batch_size]
+        ...
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .graph import GraphTuple, pad_sizes
+
+__all__ = ["DeviceSampler"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceSampler:
+    """Fixed-fanout layered sampler executed on device (see module docstring).
+
+    A frozen pytree: the array fields (device-resident CSR + structural
+    constants) are traced jit arguments; the layout ints are static.
+    Construct via :meth:`build`.
+    """
+
+    csr_send: jax.Array        # int32[E]   senders grouped by receiver
+    ptr: jax.Array             # int32[N+1] CSR row pointers (in-edges)
+    senders: jax.Array         # int32[e_pad] structural constant (slot space)
+    receivers: jax.Array       # int32[e_pad] structural constant, sorted
+    spmm_aux: tuple | None     # prebuilt (aux_fwd, aux_rev), batch-invariant
+    fanouts: tuple = dataclasses.field(metadata=dict(static=True))
+    batch_size: int = dataclasses.field(metadata=dict(static=True))
+    num_nodes: int = dataclasses.field(metadata=dict(static=True))
+    n_slots: int = dataclasses.field(metadata=dict(static=True))
+    e_total: int = dataclasses.field(metadata=dict(static=True))
+    n_pad: int = dataclasses.field(metadata=dict(static=True))
+    e_pad: int = dataclasses.field(metadata=dict(static=True))
+
+    @classmethod
+    def build(cls, csr_send, ptr, *, fanouts, batch_size: int,
+              build_spmm_aux: bool = True) -> "DeviceSampler":
+        """Host-side constructor: derives the structural slot graph, prebuilds
+        the SpMM grouping, and places the CSR on device.
+
+        ``csr_send[ptr[v]:ptr[v+1]]`` must list the in-neighbors (senders)
+        of node ``v`` — the layout ``NeighborLoader.from_csr`` consumes.
+        """
+        fanouts = tuple(int(k) for k in fanouts)
+        if not fanouts or any(k <= 0 for k in fanouts):
+            raise ValueError(f"fanouts must be positive, got {fanouts}")
+        ptr = np.asarray(ptr)
+        csr_send = np.asarray(csr_send, np.int32)
+        num_nodes = int(ptr.shape[0]) - 1
+        if int(ptr[-1]) != csr_send.shape[0]:
+            raise ValueError("ptr[-1] != len(csr_send)")
+        if csr_send.shape[0] >= 2**31:
+            raise ValueError("CSR too large for int32 pointers")
+
+        # layer sizes and slot offsets: L0 seeds, L_i = L_{i-1} * k_i
+        sizes = [int(batch_size)]
+        for k in fanouts:
+            sizes.append(sizes[-1] * k)
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        n_slots = int(offs[-1])
+        e_total = n_slots - sizes[0]
+        n_pad, e_pad = pad_sizes(n_slots, e_total)
+
+        # structural edges: layer-i edge j: receiver = its parent slot,
+        # sender = the sampled child's slot. Receivers ascend within a layer
+        # and offsets ascend across layers -> globally receiver-sorted; the
+        # senders sequence off[i] + arange is globally ascending too, so the
+        # REVERSE grouping needs no permutation either.
+        dummy = n_pad - 1
+        r_p = np.full((e_pad,), dummy, np.int32)
+        s_p = np.full((e_pad,), dummy, np.int32)
+        pos = 0
+        for i, k in enumerate(fanouts):
+            li = sizes[i + 1]
+            r_p[pos:pos + li] = offs[i] + np.repeat(
+                np.arange(sizes[i], dtype=np.int32), k)
+            s_p[pos:pos + li] = offs[i + 1] + np.arange(li, dtype=np.int32)
+            pos += li
+
+        aux = None
+        if build_spmm_aux:
+            from .ops.pallas.spmm import build_spmm_aux as _build
+            aux_fwd = _build(r_p, s_p, e_total, n_pad)
+            aux_rev = _build(s_p, r_p, e_total, n_pad,
+                             orig_ids=np.arange(e_total, dtype=np.int32))
+            aux = (aux_fwd, aux_rev)
+
+        return cls(
+            csr_send=jnp.asarray(csr_send),
+            ptr=jnp.asarray(ptr.astype(np.int32)),
+            senders=jnp.asarray(s_p),
+            receivers=jnp.asarray(r_p),
+            spmm_aux=aux,
+            fanouts=fanouts,
+            batch_size=int(batch_size),
+            num_nodes=num_nodes,
+            n_slots=n_slots,
+            e_total=e_total,
+            n_pad=n_pad,
+            e_pad=e_pad,
+        )
+
+    def sample(self, key, seeds) -> GraphTuple:
+        """Draw one fixed-fanout batch on device (pure; call inside jit).
+
+        Args:
+          key: PRNG key.
+          seeds: int[batch_size] seed node ids (duplicates allowed).
+
+        Returns a :class:`GraphTuple` whose ``nodes["NID"]`` maps slots to
+        global node ids (seeds first), with the prebuilt SpMM aux attached
+        and ``edge_valid`` masking edges below zero-degree frontiers.
+        """
+        if seeds.shape != (self.batch_size,):
+            raise ValueError(
+                f"seeds shape {seeds.shape} != ({self.batch_size},)")
+        nid_layers = [seeds.astype(jnp.int32)]
+        valid_prev = jnp.ones((self.batch_size,), bool)
+        evalid = []
+        for li, k in enumerate(self.fanouts):
+            sub = jax.random.fold_in(key, li)
+            v = jnp.repeat(nid_layers[-1], k)               # [L_i]
+            pv = jnp.repeat(valid_prev, k)
+            lo = self.ptr[v]
+            deg = self.ptr[v + 1] - lo
+            u = jax.random.uniform(sub, v.shape)
+            # floor(u*deg) can round up to deg in f32 near u -> 1; clamp.
+            pick = lo + jnp.minimum((u * deg).astype(jnp.int32),
+                                    jnp.maximum(deg - 1, 0))
+            snd = self.csr_send[pick]
+            val = pv & (deg > 0)
+            # invalid slots echo the parent id: X[nid] stays benign and the
+            # slot's (masked) messages read a real feature row
+            snd = jnp.where(val, snd, v)
+            nid_layers.append(snd)
+            evalid.append(val)
+            valid_prev = val
+        nid = jnp.concatenate(nid_layers)
+        nid_pad = jnp.zeros((self.n_pad,), jnp.int32) \
+            .at[:self.n_slots].set(nid)
+        ev = jnp.concatenate(evalid)
+        ev_pad = jnp.zeros((self.e_pad,), bool).at[:self.e_total].set(ev)
+        return GraphTuple(
+            senders=self.senders,
+            receivers=self.receivers,
+            num_nodes=jnp.int32(self.n_slots),
+            num_edges=jnp.int32(self.e_total),
+            num_graphs=jnp.int32(1),
+            node_graph_id=jnp.zeros((self.n_pad,), jnp.int32),
+            nodes={"NID": nid_pad},
+            edge_valid=ev_pad,
+            spmm_aux=self.spmm_aux,
+            num_graphs_static=1,
+            sorted_by_receivers=True,
+        )

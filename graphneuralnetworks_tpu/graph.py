@@ -86,6 +86,12 @@ class GraphTuple:
     # (aux_fwd, aux_rev) SpmmAux pair enabling the Pallas scatter-matmul
     # fast path (ops/pallas/spmm.py); built host-side on request.
     spmm_aux: tuple | None = None
+    # optional bool[E_pad] per-edge validity for graphs whose INVALID edges
+    # are scattered rather than a trailing prefix (the device-side sampler:
+    # edge slots are structural constants, isolated-node slots get
+    # edge_valid=False). ANDed into edge_mask, so every mask-respecting op
+    # (segment mean/max, attention softmax, weighted SpMM) excludes them.
+    edge_valid: jax.Array | None = None
     num_graphs_static: int = dataclasses.field(
         default=1, metadata=dict(static=True))
     sorted_by_receivers: bool = dataclasses.field(
@@ -120,7 +126,10 @@ class GraphTuple:
     @property
     def edge_mask(self) -> jax.Array:
         """bool[E_pad] — True for real edges."""
-        return jnp.arange(self.e_pad, dtype=jnp.int32) < self.num_edges
+        m = jnp.arange(self.e_pad, dtype=jnp.int32) < self.num_edges
+        if self.edge_valid is not None:
+            m = m & self.edge_valid
+        return m
 
     @property
     def graph_mask(self) -> jax.Array:

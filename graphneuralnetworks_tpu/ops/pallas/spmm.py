@@ -412,8 +412,14 @@ def spmm(g, x, *, edge_weight=None, weighted: bool = False):
     if g.spmm_aux is None:
         raise ValueError("graph has no spmm_aux; build with "
                          "graph(..., build_spmm_aux=True)")
-    if weighted or edge_weight is not None:
+    ev = getattr(g, "edge_valid", None)
+    if weighted or edge_weight is not None or ev is not None:
+        # edge_valid graphs (device-sampled) have scattered invalid slots
+        # the grouping can't know about — kill them via the (free) weight
+        # fold even on the "unweighted" path
         w = edge_weight if edge_weight is not None else g.edge_weight
+        if w is None:
+            w = jnp.ones((g.e_pad,), x.dtype)
         w = jnp.where(g.edge_mask, w, 0).astype(x.dtype)
         w = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])
     else:
