@@ -51,6 +51,7 @@ CACHE_DIR = os.path.join(REPO, ".bench_cache")
 # train 60s) so a wedged remote compile — the dominant failure mode,
 # roughly every other heavy subprocess — is cut and retried quickly.
 PHASES = [("large", 220, 3, "large_xla"),
+          ("sage_device", 420, 2, "sage_dev_epoch_s"),
           ("sage_epoch", 420, 2, "sage_epoch_s"),
           ("sddmm_attn", 220, 3, "attention"),
           ("small", 150, 3, "small_xla"),
@@ -97,6 +98,9 @@ def run_phase(phase: str) -> None:
     if phase == "sage_epoch":
         return _run_sage_epoch(jax, jnp, np)
 
+    if phase == "sage_device":
+        return _run_sage_device(jax, jnp, np)
+
     if phase in ("large", "sddmm_attn"):
         n, e, d, iters = N_LARGE, E_LARGE, D_LARGE, 20
         g = gnn.rand_graph(n, e, seed=1, build_spmm_aux=True)
@@ -112,6 +116,10 @@ def run_phase(phase: str) -> None:
             return jax.lax.fori_loop(0, iters, body, x)
 
         emit({"large_pallas": _timeit(run_fwd, (g, x), iters)})
+        # bf16: halves every byte the SpMM moves (MXU-native dtype; the
+        # kernel accumulates f32 via preferred_element_type)
+        emit({"large_pallas_bf16":
+              _timeit(run_fwd, (g, x.astype(jnp.bfloat16)), iters)})
 
         # first-ever backward-pass kernel number (VERDICT r2 weak #2): the
         # weighted-SpMM VJP = reverse-graph SpMM (dx) + the dw SDDMM path.
@@ -175,6 +183,46 @@ def run_phase(phase: str) -> None:
             return jax.lax.fori_loop(0, iters, body, x)
 
         emit({"attention": _timeit(run_attn, (g, x), iters)})
+
+        # bf16 attention: K|V gather traffic halves (the stack's dominant
+        # cost); logits/softmax accumulate f32 in-kernel either way.
+        xb = x.astype(jnp.bfloat16)
+
+        @jax.jit
+        def run_attn_bf16(g, x):
+            def body(i, x):
+                pi = (x @ a1.astype(jnp.bfloat16))
+                pj = (x @ a2.astype(jnp.bfloat16))
+                out = gat_attention(g, pi, pj, x[:, None, :], 0.2)[:, 0, :]
+                return x * 0.9 + out * 0.01
+            return jax.lax.fori_loop(0, iters, body, x)
+
+        emit({"attention_bf16": _timeit(run_attn_bf16, (g, xb), iters)})
+
+        # per-stage split of the fused attention stack (VERDICT r2 weak #2):
+        # time the flash kernel alone on PRE-grouped [K|V] slots; the
+        # grouped sender gather is (attention - flash - finalize~=0).
+        from graphneuralnetworks_tpu.ops.segment import gather as _gat
+        from graphneuralnetworks_tpu.ops.pallas.edge_softmax import (
+            _flash_dot_grouped)
+        aux = g.spmm_aux[0]
+        kv_flat = jnp.concatenate([x, x], axis=-1)          # [N, 2*128]
+        kv_grp = _gat(kv_flat, aux.senders_grp).reshape(-1, 256)
+        q2 = jnp.concatenate(
+            [x @ a1, jnp.ones((g.n_pad, 1), jnp.float32)], axis=-1)
+        q_flat = jnp.pad(q2, ((0, 0), (0, 126)))            # [N, 128] lanes
+
+        @jax.jit
+        def run_flash(g, q_flat, kv_grp, x):
+            def body(i, x):
+                y, m, s = _flash_dot_grouped(
+                    q_flat, kv_grp, g.spmm_aux[0], g.n_pad,
+                    1.0, 1, 128, 128, 0.2)
+                return x * 0.999 + y * 1e-4
+            return jax.lax.fori_loop(0, iters, body, x)
+
+        emit({"attention_flash": _timeit(run_flash, (g, q_flat, kv_grp, x),
+                                         iters)})
         return
 
     if phase == "train":
@@ -305,6 +353,91 @@ def _sage_graph(np):
     return csr_send, csr_eid, ptr, n, e, seeds, is_real
 
 
+def _run_sage_device(jax, jnp, np) -> None:
+    """NORTH STAR, device-resident variant: the same GraphSAGE sampled-
+    minibatch training, but sampling runs ON the TPU (device_sampler.
+    DeviceSampler: HBM-resident CSR, constant slot structure, prebuilt SpMM
+    aux). The whole measured window is ONE dispatch (lax.fori_loop over
+    batches), with zero per-batch host->device traffic — the host pipeline's
+    ~108 ms/batch sampler+transfer bound disappears."""
+    import functools
+    import optax
+
+    from flax import nnx
+    from graphneuralnetworks_tpu import models as M
+    from graphneuralnetworks_tpu.device_sampler import DeviceSampler
+
+    t_setup = time.perf_counter()
+    csr_send, _, ptr, n, e, seeds, is_real = _sage_graph(np)
+    d, ncls = 100, 47
+    bs = int(os.environ.get("BENCH_SAGE_BS", 1024))       # env: smoke/tuning
+    fanouts = tuple(int(k) for k in
+                    os.environ.get("BENCH_SAGE_FANOUTS", "15,10").split(","))
+    sampler = DeviceSampler.build(csr_send, ptr, fanouts=fanouts,
+                                  batch_size=bs)
+    del csr_send, ptr
+    n_batches_epoch = -(-len(seeds) // bs)
+
+    X = jax.random.normal(jax.random.key(0), (n, d), jnp.float32)
+    y = jax.random.randint(jax.random.key(1), (n,), 0, ncls)
+    rngs = nnx.Rngs(0)
+    model = M.GNNChain(M.SAGEConv(d, 256, jax.nn.relu, rngs=rngs),
+                       M.SAGEConv(256, 256, jax.nn.relu, rngs=rngs),
+                       nnx.Linear(256, ncls, rngs=rngs))
+    gd, state = nnx.split(model)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(state)
+    nb = int(os.environ.get("BENCH_SAGE_NB", 40))   # batches, one dispatch
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def run_epoch(state, opt_state, sampler, key, seeds_all, X, y):
+        def body(i, carry):
+            state, opt_state, nvalid, _ = carry
+            gb = sampler.sample(jax.random.fold_in(key, i), seeds_all[i])
+            nid = gb.nodes["NID"]
+
+            def loss_fn(st):
+                logits = nnx.merge(gd, st)(gb, X[nid])
+                ls = optax.softmax_cross_entropy_with_integer_labels(
+                    logits[:bs], y[nid[:bs]])
+                return jnp.mean(ls)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state)
+            upd, opt_state = tx.update(grads, opt_state)
+            nvalid = nvalid + jnp.sum(gb.edge_valid.astype(jnp.int32))
+            return optax.apply_updates(state, upd), opt_state, nvalid, loss
+
+        return jax.lax.fori_loop(
+            0, nb, body,
+            (state, opt_state, jnp.int32(0), jnp.float32(0)))
+
+    rng = np.random.default_rng(3)
+    picks = rng.choice(np.asarray(seeds), (2, nb, bs), replace=True)
+    seeds_warm = jnp.asarray(picks[0], jnp.int32)
+    seeds_meas = jnp.asarray(picks[1], jnp.int32)
+    emit({"sage_dev_setup_s": round(time.perf_counter() - t_setup, 2),
+          "real_data": bool(is_real)})
+
+    t_c = time.perf_counter()
+    state, opt_state, nvalid, loss = run_epoch(
+        state, opt_state, sampler, jax.random.key(7), seeds_warm, X, y)
+    float(loss)
+    emit({"sage_dev_compile_s": round(time.perf_counter() - t_c, 2)})
+
+    t0 = time.perf_counter()
+    state, opt_state, nvalid, loss = run_epoch(
+        state, opt_state, sampler, jax.random.key(8), seeds_meas, X, y)
+    lv, ev_count = float(loss), int(nvalid)     # fetch = done
+    wall = time.perf_counter() - t0
+    per_batch = wall / nb
+    emit({
+        "sage_dev_epoch_s": round(per_batch * n_batches_epoch, 2),
+        "sage_dev_batch_ms": round(per_batch * 1e3, 2),
+        "sage_dev_sampled_edges_per_s": round(ev_count / wall),
+        "sage_dev_loss": round(lv, 4),
+    })
+
+
 def _run_sage_epoch(jax, jnp, np) -> None:
     """NORTH STAR (BASELINE.md primary metric shape): GraphSAGE sampled-
     minibatch training at ogbn-products scale (2.45M nodes, 124M directed
@@ -351,7 +484,7 @@ def _run_sage_epoch(jax, jnp, np) -> None:
         def loss_fn(st):
             logits = nnx.merge(gd, st)(gb, X[nid])
             ls = optax.softmax_cross_entropy_with_integer_labels(
-                logits[:bs], y[nid][:bs])
+                logits[:bs], y[nid[:bs]])
             return jnp.mean(ls)
 
         loss, grads = jax.value_and_grad(loss_fn)(state)
@@ -429,6 +562,7 @@ def _headline(res: dict) -> dict:
     attn_gbps, attn_frac = roofline(res.get("attention"), attn_bytes)
 
     tg = res.get("spmm_grad")
+    ta, tf = res.get("attention"), res.get("attention_flash")
     out = {
         "metric": "spmm_propagate_copy_xj_edges_per_s",
         "value": round(rate) if rate else None,
@@ -459,6 +593,14 @@ def _headline(res: dict) -> dict:
                               if res.get("sddmm") else None),
         "attention_edges_per_s": (round(E_LARGE / res["attention"])
                                   if res.get("attention") else None),
+        # bf16 variants (half the HBM traffic; f32 accumulate in-kernel)
+        "large_pallas_bf16_ms": ms("large_pallas_bf16"),
+        "attention_bf16_ms": ms("attention_bf16"),
+        # attention stack split: flash kernel on pre-grouped [K|V] slots vs
+        # the grouped sender gather (the remainder; finalize ~0)
+        "attention_flash_ms": ms("attention_flash"),
+        "attention_gather_est_ms": (round((ta - tf) * 1e3, 3)
+                                    if ta and tf else None),
         "train_step_ms": ms("train"),
         "train_edges_per_s": (round(E_LARGE / res["train"])
                               if res.get("train") else None),
@@ -468,7 +610,8 @@ def _headline(res: dict) -> dict:
     for k, v in res.items():
         if k not in ("large_pallas", "large_xla", "small_pallas",
                      "small_xla", "sddmm", "attention", "train",
-                     "spmm_grad"):
+                     "spmm_grad", "large_pallas_bf16", "attention_bf16",
+                     "attention_flash"):
             out[k] = v
     return out
 

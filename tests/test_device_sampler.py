@@ -174,7 +174,7 @@ def test_sage_train_step_smoke():
         def loss_fn(st):
             logits = nnx.merge(gd, st)(gb, X[nid])
             ls = optax.softmax_cross_entropy_with_integer_labels(
-                logits[:8], y[nid][:8])
+                logits[:8], y[nid[:8]])
             return jnp.mean(ls)
 
         loss, grads = jax.value_and_grad(loss_fn)(state)
