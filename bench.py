@@ -388,23 +388,40 @@ def _run_sage_device(jax, jnp, np) -> None:
     tx = optax.adam(1e-3)
     opt_state = tx.init(state)
     nb = int(os.environ.get("BENCH_SAGE_NB", 40))   # batches, one dispatch
+    # per-hop trimmed blocks (device_sampler.apply_blocks): each conv only
+    # computes the rows the next layer reads (~10x less dense work at L=2)
+    use_blocks = os.environ.get("BENCH_SAGE_BLOCKS", "1") != "0"
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def run_epoch(state, opt_state, sampler, key, seeds_all, X, y):
         def body(i, carry):
             state, opt_state, nvalid, _ = carry
-            gb = sampler.sample(jax.random.fold_in(key, i), seeds_all[i])
-            nid = gb.nodes["NID"]
+            ki = jax.random.fold_in(key, i)
 
             def loss_fn(st):
-                logits = nnx.merge(gd, st)(gb, X[nid])
+                ls_ = list(nnx.merge(gd, st).layers)
+                convs, head = ls_[:-1], ls_[-1]
+                if use_blocks:
+                    blocks, nid = sampler.sample_blocks(ki, seeds_all[i])
+                    x = X[nid]
+                    for blk, c in zip(blocks, convs):
+                        x = c(blk, x[:blk.n_pad])
+                    ev = blocks[0].edge_valid
+                else:
+                    gb = sampler.sample(ki, seeds_all[i])
+                    nid, ev = gb.nodes["NID"], gb.edge_valid
+                    x = X[nid]
+                    for c in convs:
+                        x = c(gb, x)
+                logits = head(x[:bs])
                 ls = optax.softmax_cross_entropy_with_integer_labels(
-                    logits[:bs], y[nid[:bs]])
-                return jnp.mean(ls)
+                    logits, y[nid[:bs]])
+                return jnp.mean(ls), ev
 
-            loss, grads = jax.value_and_grad(loss_fn)(state)
+            (loss, ev), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state)
             upd, opt_state = tx.update(grads, opt_state)
-            nvalid = nvalid + jnp.sum(gb.edge_valid.astype(jnp.int32))
+            nvalid = nvalid + jnp.sum(ev.astype(jnp.int32))
             return optax.apply_updates(state, upd), opt_state, nvalid, loss
 
         return jax.lax.fori_loop(
@@ -416,7 +433,7 @@ def _run_sage_device(jax, jnp, np) -> None:
     seeds_warm = jnp.asarray(picks[0], jnp.int32)
     seeds_meas = jnp.asarray(picks[1], jnp.int32)
     emit({"sage_dev_setup_s": round(time.perf_counter() - t_setup, 2),
-          "real_data": bool(is_real)})
+          "sage_dev_blocks": use_blocks, "real_data": bool(is_real)})
 
     t_c = time.perf_counter()
     state, opt_state, nvalid, loss = run_epoch(

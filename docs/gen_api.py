@@ -23,6 +23,7 @@ MODULES = [
     "graphneuralnetworks_tpu.convert",
     "graphneuralnetworks_tpu.utils",
     "graphneuralnetworks_tpu.sampling",
+    "graphneuralnetworks_tpu.device_sampler",
     "graphneuralnetworks_tpu.operators",
     "graphneuralnetworks_tpu.training",
     "graphneuralnetworks_tpu.checkpoint",

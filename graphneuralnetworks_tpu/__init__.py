@@ -40,7 +40,7 @@ from .heterograph import (HeteroGraphTuple, Relation, heterograph,
 from .temporal import TemporalGraph
 from .datastore import DataStore
 from .sampling import sample_neighbors, induced_subgraph, NeighborLoader
-from .device_sampler import DeviceSampler
+from .device_sampler import DeviceSampler, apply_blocks
 from .operators import intersect_graphs
 from .convert import (from_adjacency_list, to_scipy_sparse,
                       from_scipy_sparse, to_dense_adjacency)

@@ -56,7 +56,19 @@ import numpy as np
 
 from .graph import GraphTuple, pad_sizes
 
-__all__ = ["DeviceSampler"]
+__all__ = ["DeviceSampler", "apply_blocks"]
+
+
+def apply_blocks(blocks, layers, x):
+    """Thread features through per-hop blocks: ``x = layer(blk, x[:n_pad])``.
+
+    ``blocks`` from :meth:`DeviceSampler.sample_blocks` (deepest reach
+    first); ``layers`` the model's conv layers in application order. Each
+    block's node space shrinks to exactly the rows the next layer reads.
+    """
+    for blk, layer in zip(blocks, layers):
+        x = layer(blk, x[:blk.n_pad])
+    return x
 
 
 @jax.tree_util.register_dataclass
@@ -74,6 +86,9 @@ class DeviceSampler:
     senders: jax.Array         # int32[e_pad] structural constant (slot space)
     receivers: jax.Array       # int32[e_pad] structural constant, sorted
     spmm_aux: tuple | None     # prebuilt (aux_fwd, aux_rev), batch-invariant
+    # per-model-layer trimmed views for sample_blocks (GraphTuple templates
+    # whose NID/edge_valid are filled per batch)
+    block_templates: tuple
     fanouts: tuple = dataclasses.field(metadata=dict(static=True))
     batch_size: int = dataclasses.field(metadata=dict(static=True))
     num_nodes: int = dataclasses.field(metadata=dict(static=True))
@@ -81,6 +96,9 @@ class DeviceSampler:
     e_total: int = dataclasses.field(metadata=dict(static=True))
     n_pad: int = dataclasses.field(metadata=dict(static=True))
     e_pad: int = dataclasses.field(metadata=dict(static=True))
+    # (E_j, n_in_j) true sizes per block (static, parallel to templates)
+    block_sizes: tuple = dataclasses.field(
+        default=(), metadata=dict(static=True))
 
     @classmethod
     def build(cls, csr_send, ptr, *, fanouts, batch_size: int,
@@ -135,7 +153,41 @@ class DeviceSampler:
                              orig_ids=np.arange(e_total, dtype=np.int32))
             aux = (aux_fwd, aux_rev)
 
+        # per-model-layer trimmed blocks: model conv j (0-indexed, applied
+        # in order) only needs output rows for slots of depth <= L-j-1 and
+        # aggregates the edge PREFIX of sample-layers 1..L-j (edges are laid
+        # out layer-major). Computing each conv on its block instead of the
+        # full slot graph removes the wasted dense work on deep slots whose
+        # outputs nothing reads (the fanout tail is ~90% of slots at L=2).
+        L = len(fanouts)
+        templates, bsizes = [], []
+        for j in range(L):
+            e_j = int(offs[L - j + 1]) - sizes[0]   # edges of layers 1..L-j
+            n_in = int(offs[L - j + 1])             # sender/input slot space
+            np_j, ep_j = pad_sizes(n_in, e_j)
+            dmy = np_j - 1
+            r_j = np.full((ep_j,), dmy, np.int32)
+            s_j = np.full((ep_j,), dmy, np.int32)
+            r_j[:e_j] = r_p[:e_j]
+            s_j[:e_j] = s_p[:e_j]
+            aux_j = None
+            if build_spmm_aux:
+                from .ops.pallas.spmm import build_spmm_aux as _build
+                aux_j = (_build(r_j, s_j, e_j, np_j),
+                         _build(s_j, r_j, e_j, np_j,
+                                orig_ids=np.arange(e_j, dtype=np.int32)))
+            templates.append(GraphTuple(
+                senders=jnp.asarray(s_j), receivers=jnp.asarray(r_j),
+                num_nodes=jnp.int32(n_in), num_edges=jnp.int32(e_j),
+                num_graphs=jnp.int32(1),
+                node_graph_id=jnp.zeros((np_j,), jnp.int32),
+                spmm_aux=aux_j, num_graphs_static=1,
+                sorted_by_receivers=True))
+            bsizes.append((e_j, n_in))
+
         return cls(
+            block_templates=tuple(templates),
+            block_sizes=tuple(bsizes),
             csr_send=jnp.asarray(csr_send),
             ptr=jnp.asarray(ptr.astype(np.int32)),
             senders=jnp.asarray(s_p),
@@ -161,6 +213,43 @@ class DeviceSampler:
         global node ids (seeds first), with the prebuilt SpMM aux attached
         and ``edge_valid`` masking edges below zero-degree frontiers.
         """
+        nid_pad, ev = self._draw(key, seeds)
+        ev_pad = jnp.zeros((self.e_pad,), bool).at[:self.e_total].set(ev)
+        return GraphTuple(
+            senders=self.senders,
+            receivers=self.receivers,
+            num_nodes=jnp.int32(self.n_slots),
+            num_edges=jnp.int32(self.e_total),
+            num_graphs=jnp.int32(1),
+            node_graph_id=jnp.zeros((self.n_pad,), jnp.int32),
+            nodes={"NID": nid_pad},
+            edge_valid=ev_pad,
+            spmm_aux=self.spmm_aux,
+            num_graphs_static=1,
+            sorted_by_receivers=True,
+        )
+
+    def sample_blocks(self, key, seeds) -> tuple:
+        """Like :meth:`sample`, but returns per-model-layer trimmed blocks.
+
+        Returns ``(blocks, nid)``: ``blocks[j]`` is the GraphTuple model
+        conv ``j`` should run on (thread with :func:`apply_blocks` —
+        ``x = layer(blocks[j], x[:blocks[j].n_pad])``), ``nid`` the full
+        [n_pad] slot->global-id map (gather features once: ``X[nid]``).
+        Identical math to :meth:`sample` on the rows that matter: block j
+        drops the deep slots and edges whose layer-j outputs nothing reads
+        (~k-fold less dense work per layer at depth > 1).
+        """
+        nid_pad, ev = self._draw(key, seeds)
+        blocks = []
+        for tpl, (e_j, n_in) in zip(self.block_templates, self.block_sizes):
+            ev_j = jnp.zeros((tpl.e_pad,), bool).at[:e_j].set(ev[:e_j])
+            blocks.append(tpl.replace(
+                nodes={"NID": nid_pad[:tpl.n_pad]}, edge_valid=ev_j))
+        return tuple(blocks), nid_pad
+
+    def _draw(self, key, seeds):
+        """Core layered draw: (nid_pad [n_pad], edge_valid [e_total])."""
         if seeds.shape != (self.batch_size,):
             raise ValueError(
                 f"seeds shape {seeds.shape} != ({self.batch_size},)")
@@ -188,18 +277,4 @@ class DeviceSampler:
         nid = jnp.concatenate(nid_layers)
         nid_pad = jnp.zeros((self.n_pad,), jnp.int32) \
             .at[:self.n_slots].set(nid)
-        ev = jnp.concatenate(evalid)
-        ev_pad = jnp.zeros((self.e_pad,), bool).at[:self.e_total].set(ev)
-        return GraphTuple(
-            senders=self.senders,
-            receivers=self.receivers,
-            num_nodes=jnp.int32(self.n_slots),
-            num_edges=jnp.int32(self.e_total),
-            num_graphs=jnp.int32(1),
-            node_graph_id=jnp.zeros((self.n_pad,), jnp.int32),
-            nodes={"NID": nid_pad},
-            edge_valid=ev_pad,
-            spmm_aux=self.spmm_aux,
-            num_graphs_static=1,
-            sorted_by_receivers=True,
-        )
+        return nid_pad, jnp.concatenate(evalid)

@@ -190,6 +190,52 @@ def test_sage_train_step_smoke():
     assert losses[-1] < losses[0]
 
 
+def test_sample_blocks_matches_full_graph():
+    """apply_blocks on trimmed per-hop views == the same model on the full
+    slot graph, on the seed rows (same key => identical draw)."""
+    from flax import nnx
+    from graphneuralnetworks_tpu import models as M
+    from graphneuralnetworks_tpu.device_sampler import apply_blocks
+
+    g = gnn.rand_graph(60, 700, seed=5)
+    cs, ptr, n = _csr(g)
+    bs = 8
+    sp = DeviceSampler.build(cs, ptr, fanouts=(4, 3), batch_size=bs)
+    d = 6
+    convs = [M.SAGEConv(d, 10, jax.nn.relu, rngs=nnx.Rngs(0)),
+             M.SAGEConv(10, 5, rngs=nnx.Rngs(1))]
+    X = jax.random.normal(jax.random.key(2), (n, d), jnp.float32)
+    seeds = jnp.arange(bs, dtype=jnp.int32) * 3
+
+    @jax.jit
+    def run_full(sp, key, seeds, X):
+        gb = sp.sample(key, seeds)
+        x = X[gb.nodes["NID"]]
+        for c in convs:
+            x = c(gb, x)
+        return x[:bs], gb.nodes["NID"], gb.edge_valid
+
+    @jax.jit
+    def run_blocks(sp, key, seeds, X):
+        blocks, nid = sp.sample_blocks(key, seeds)
+        return apply_blocks(blocks, convs, X[nid])[:bs], nid, blocks
+
+    key = jax.random.key(9)
+    full, nid_f, ev_f = run_full(sp, key, seeds, X)
+    trimmed, nid_b, blocks = run_blocks(sp, key, seeds, X)
+    np.testing.assert_array_equal(np.asarray(nid_f), np.asarray(nid_b))
+    np.testing.assert_allclose(np.asarray(full), np.asarray(trimmed),
+                               rtol=1e-6, atol=1e-6)
+    # block shapes shrink: last block covers only seeds+hop-1 slots
+    assert blocks[0].n_pad == sp.n_pad
+    assert blocks[1].n_pad < sp.n_pad
+    assert sp.block_sizes[1][0] < sp.e_total
+    # block edge_valid is the matching prefix of the full draw
+    e1 = sp.block_sizes[1][0]
+    np.testing.assert_array_equal(np.asarray(blocks[1].edge_valid)[:e1],
+                                  np.asarray(ev_f)[:e1])
+
+
 def test_build_validation():
     with pytest.raises(ValueError):
         DeviceSampler.build(np.zeros(4, np.int32), np.array([0, 2, 4]),
