@@ -50,12 +50,13 @@ CACHE_DIR = os.path.join(REPO, ".bench_cache")
 # sage 230s warm-cache / +75s first build, sddmm_attn 90s, small 60s,
 # train 60s) so a wedged remote compile — the dominant failure mode,
 # roughly every other heavy subprocess — is cut and retried quickly.
-PHASES = [("large", 220, 3, "large_xla"),
-          ("sage_device", 420, 2, "sage_dev_epoch_s"),
+PHASES = [("large", 240, 3, "large_xla"),
+          ("sage_device", 320, 2, "sage_dev_epoch_s"),
           ("sage_epoch", 420, 2, "sage_epoch_s"),
           ("sddmm_attn", 220, 3, "attention"),
           ("small", 150, 3, "small_xla"),
-          ("train", 180, 2, "train")]
+          ("train", 180, 2, "train"),
+          ("attn_split", 240, 2, "attention_flash")]
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1050))
 
 # roofline constants: one v5e-class chip (the tunneled device).
@@ -101,7 +102,7 @@ def run_phase(phase: str) -> None:
     if phase == "sage_device":
         return _run_sage_device(jax, jnp, np)
 
-    if phase in ("large", "sddmm_attn"):
+    if phase in ("large", "sddmm_attn", "attn_split"):
         n, e, d, iters = N_LARGE, E_LARGE, D_LARGE, 20
         g = gnn.rand_graph(n, e, seed=1, build_spmm_aux=True)
         x = jnp.asarray(
@@ -183,7 +184,14 @@ def run_phase(phase: str) -> None:
             return jax.lax.fori_loop(0, iters, body, x)
 
         emit({"attention": _timeit(run_attn, (g, x), iters)})
+        return
 
+    if phase == "attn_split":
+        from graphneuralnetworks_tpu.ops.attention import gat_attention
+        a1 = jnp.asarray(np.random.default_rng(2).standard_normal((d, 1)),
+                         jnp.float32)
+        a2 = jnp.asarray(np.random.default_rng(3).standard_normal((d, 1)),
+                         jnp.float32)
         # bf16 attention: K|V gather traffic halves (the stack's dominant
         # cost); logits/softmax accumulate f32 in-kernel either way.
         xb = x.astype(jnp.bfloat16)
@@ -622,6 +630,13 @@ def _headline(res: dict) -> dict:
         "train_edges_per_s": (round(E_LARGE / res["train"])
                               if res.get("train") else None),
         "baseline_edges_per_s": round(BASELINE_EDGES_PER_S),
+        # BASELINE.md asks for 1->N-host scaling efficiency; this sandbox
+        # has ONE tunneled chip, so multi-chip is validated functionally
+        # (dryrun_multichip: real dp x graph mesh step) and the efficiency
+        # harness ships ready to run on real meshes (benchmarks/scaling.py)
+        "scaling": "single-chip sandbox; dp x graph mesh step validated by "
+                   "dryrun_multichip; efficiency harness: "
+                   "benchmarks/scaling.py",
     }
     # north-star sampled-epoch metrics + any other direct measurements
     for k, v in res.items():

@@ -15,6 +15,9 @@ EXAMPLES = [
       "--fanout", "4", "4"]),
     ("examples/hetero_recommendation.py", ["--epochs", "3"]),
     ("examples/temporal_node_classification.py", ["--epochs", "2"]),
+    ("examples/graph_classification_temporalbrains.py",
+     ["--epochs", "2", "--subjects", "12"]),
+    ("examples/neural_ode_cora.py", ["--epochs", "2", "--steps", "2"]),
 ]
 
 
