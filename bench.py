@@ -57,7 +57,10 @@ PHASES = [("large", 240, 3, "large_xla"),
           ("small", 150, 3, "small_xla"),
           ("train", 180, 2, "train"),
           ("attn_split", 240, 2, "attention_flash")]
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1050))
+# Safe to run long: the headline line is re-printed after every phase and
+# BENCH_partial.json persists, so a driver-side kill at ANY point keeps all
+# completed measurements (the incremental-emission design).
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1500))
 
 # roofline constants: one v5e-class chip (the tunneled device).
 HBM_PEAK_GBPS = 819.0

@@ -51,6 +51,7 @@ class Prefetcher:
             raise ValueError("workers > 1 needs an iterable with the "
                              "epoch_batches/sample_batch protocol")
         self.host_busy_s = 0.0
+        self._busy_lock = threading.Lock()
 
     def __len__(self):
         return len(self._it)
@@ -122,7 +123,8 @@ class Prefetcher:
                     busy += time.perf_counter() - t0
                     q.put(item)
             finally:
-                self.host_busy_s += busy  # one racy += per worker lifetime
+                with self._busy_lock:     # one += per worker lifetime
+                    self.host_busy_s += busy
 
         threads = [threading.Thread(target=produce, args=(w,), daemon=True)
                    for w in range(self._workers)]
