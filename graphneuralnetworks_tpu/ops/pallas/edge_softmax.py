@@ -132,7 +132,8 @@ def _fused_forward(logits, values, aux_receivers, static_args, self_logits,
         mask_e, mask_self = dropout_masks
     n_pad = static_args[0]
     e_pad, h_dim = logits.shape
-    neg = jnp.asarray(-jnp.inf, logits.dtype)
+    logits = logits.astype(jnp.float32)     # f32 softmax state (see
+    neg = jnp.asarray(-jnp.inf, logits.dtype)   # _dot_forward note)
 
     # mask padded edges in the logit domain, add dummy -inf row for grouping
     lg = jnp.where(edge_mask[:, None], logits, neg)
@@ -194,11 +195,13 @@ def _fused_bwd(static_args, res, dy):
         m_alpha_self = (alpha_self if mask_self is None
                         else alpha_self * mask_self)
         dsl = (m_alpha_self * jnp.sum(self_values * dy, -1)
-               - alpha_self * s_n)
-        dsv = m_alpha_self[..., None] * dy
+               - alpha_self * s_n).astype(self_logits.dtype)
+        dsv = (m_alpha_self[..., None] * dy).astype(self_values.dtype)
     else:
         dsl = dsv = None
-    return dl, dv, None, dsl, dsv, None
+    # primal-dtype cotangents (see _gatv2_bwd note)
+    return (dl.astype(logits.dtype), dv.astype(values.dtype), None,
+            dsl, dsv, None)
 
 
 edge_softmax_aggregate.defvjp(_fused_fwd, _fused_bwd)
@@ -478,7 +481,11 @@ def _dot_forward(q, k, values_n, auxes, ids, static_args, self_logits,
                          axis=-1)                         # [N, H, bo+bd]
     kv_flat = kv.reshape(kv.shape[0], h_dim * (bo + bd))
     kv_grp = gather(kv_flat, aux.senders_grp)             # [blk, BE, ...]
-    q_flat = _lane_pad(q, bo).reshape(q.shape[0], h_dim * bo)
+    # softmax state (logits/max/denominator) stays f32 regardless of the
+    # value dtype: numerically right for bf16 values, and Mosaic lacks some
+    # bf16 lane ops the running-max update needs (only K/V ride bf16)
+    q_flat = (_lane_pad(q, bo).reshape(q.shape[0], h_dim * bo)
+              .astype(jnp.float32))
     y, m, s = _flash_dot_grouped(
         q_flat, kv_grp.reshape(-1, h_dim * (bo + bd)), aux, n_pad,
         float(scale), h_dim, bo, bd, slope)
@@ -546,11 +553,13 @@ def _dot_bwd(static_args, res, dy):
     if self_logits is not None:
         alpha_self = jnp.exp(self_logits - mx) / den      # [N, H]
         dsl = (alpha_self * jnp.sum(self_values * dy, -1)
-               - alpha_self * s_n)
-        dsv = alpha_self[..., None] * dy
+               - alpha_self * s_n).astype(self_logits.dtype)
+        dsv = (alpha_self[..., None] * dy).astype(self_values.dtype)
     else:
         dsl = dsv = None
-    return dq, dk, dv_n, None, None, dsl, dsv
+    # primal-dtype cotangents (see _gatv2_bwd note)
+    return (dq.astype(q.dtype), dk.astype(k.dtype),
+            dv_n.astype(values_n.dtype), None, None, dsl, dsv)
 
 
 dot_attention_nodes.defvjp(_dot_fwd, _dot_bwd)
@@ -629,7 +638,10 @@ def _gatv2_forward(q, k, a, auxes, ids, static_args, self_logits,
     n_nblk = -(-n_pad // BN)
     k_flat = _lane_pad(k, bo).reshape(k.shape[0], h_dim * bo)
     kg_flat = gather(k_flat, aux.senders_grp).reshape(-1, h_dim * bo)
-    q_flat = _lane_pad(q, bo).reshape(q.shape[0], h_dim * bo)
+    # f32 softmax state; only K (values) rides the input dtype — see
+    # _dot_forward note
+    q_flat = (_lane_pad(q, bo).reshape(q.shape[0], h_dim * bo)
+              .astype(jnp.float32))
     q_flat = jnp.pad(q_flat, ((0, n_nblk * BN - q_flat.shape[0]), (0, 0)))
     a_hp = _lane_pad(jnp.swapaxes(a, 0, 1), bo)           # [H, bo]
 
@@ -653,8 +665,8 @@ def _gatv2_forward(q, k, a, auxes, ids, static_args, self_logits,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_nblk * BN, h_dim * bo), k.dtype),
-            jax.ShapeDtypeStruct((n_nblk * BN, h_dim), q.dtype),
-            jax.ShapeDtypeStruct((n_nblk * BN, h_dim), q.dtype),
+            jax.ShapeDtypeStruct((n_nblk * BN, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((n_nblk * BN, h_dim), jnp.float32),
         ],
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
@@ -725,11 +737,14 @@ def _gatv2_bwd(static_args, res, dy):
     if self_logits is not None:
         alpha_self = jnp.exp(self_logits - mx) / den      # [N, H]
         dsl = (alpha_self * jnp.sum(self_values * dy, -1)
-               - alpha_self * s_n)
-        dsv = alpha_self[..., None] * dy
+               - alpha_self * s_n).astype(self_logits.dtype)
+        dsv = (alpha_self[..., None] * dy).astype(self_values.dtype)
     else:
         dsl = dsv = None
-    return dq, dk, da, None, None, dsl, dsv
+    # cotangents must carry the PRIMAL dtypes (alpha/softmax state is f32
+    # internally, so bf16 primals would otherwise get f32 cotangents)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), da.astype(a.dtype),
+            None, None, dsl, dsv)
 
 
 gatv2_attention_nodes.defvjp(_gatv2_fwd, _gatv2_bwd)
@@ -781,7 +796,8 @@ def _fused_nodes_forward(logits, values_n, auxes, ids, static_args,
         mask_e, mask_self = dropout_masks
     n_pad = static_args[0]
     h_dim = logits.shape[1]
-    neg = jnp.asarray(-jnp.inf, logits.dtype)
+    logits = logits.astype(jnp.float32)     # f32 softmax state (see
+    neg = jnp.asarray(-jnp.inf, logits.dtype)   # _dot_forward note)
 
     lg = jnp.where(edge_mask[:, None], logits, neg)
     lg_ext = jnp.concatenate([lg, jnp.full((1, h_dim), neg, lg.dtype)])
@@ -810,8 +826,10 @@ def _finalize_softmax(num, m, den, self_logits, self_values, mask_self):
 
     The kernel's running max ``m`` never saw the self logits, so the
     accumulators are rescaled by ``exp(m - max(m, self_logits))`` first —
-    overflow-safe for any self-logit magnitude.
+    overflow-safe for any self-logit magnitude. The output keeps the
+    numerator's (value) dtype; m/den may be wider (f32 softmax state).
     """
+    out_dtype = num.dtype
     if self_logits is not None:
         m_tot = jnp.maximum(m, self_logits)
         c = jnp.where(jnp.isneginf(m), 0.0, jnp.exp(m - m_tot))
@@ -824,8 +842,8 @@ def _finalize_softmax(num, m, den, self_logits, self_values, mask_self):
     else:
         mx = m
     mx = jnp.where(jnp.isneginf(mx), 0.0, mx)
-    den = jnp.maximum(den, jnp.finfo(num.dtype).tiny)
-    return num / den[..., None], mx, den
+    den = jnp.maximum(den, jnp.finfo(out_dtype).tiny)
+    return (num / den[..., None]).astype(out_dtype), mx, den
 
 
 def _fused_nodes_fwd(logits, values_n, auxes, ids, static_args, self_logits,
@@ -877,11 +895,13 @@ def _fused_nodes_bwd(static_args, res, dy):
         m_alpha_self = (alpha_self if mask_self is None
                         else alpha_self * mask_self)
         dsl = (m_alpha_self * jnp.sum(self_values * dy, -1)
-               - alpha_self * s_n)
-        dsv = m_alpha_self[..., None] * dy
+               - alpha_self * s_n).astype(self_logits.dtype)
+        dsv = (m_alpha_self[..., None] * dy).astype(self_values.dtype)
     else:
         dsl = dsv = None
-    return dl, dv_n, None, None, dsl, dsv, None
+    # primal-dtype cotangents (see _gatv2_bwd note)
+    return (dl.astype(logits.dtype), dv_n.astype(values_n.dtype), None,
+            None, dsl, dsv, None)
 
 
 edge_softmax_aggregate_nodes.defvjp(_fused_nodes_fwd, _fused_nodes_bwd)

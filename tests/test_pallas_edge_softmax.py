@@ -431,3 +431,44 @@ def test_gatv2conv_fused_vs_xla_layer_level():
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
                                    atol=3e-5)
+
+
+def test_bf16_values_f32_softmax_state():
+    """bf16 inputs run through every fused attention path (the softmax
+    state is kept f32 internally — bf16 lane ops are unsupported by Mosaic
+    on TPU and numerically poor anyway); outputs stay bf16 and track the
+    f32 result; gradients flow with matching dtypes."""
+    from graphneuralnetworks_tpu.ops.attention import (dot_attention,
+                                                       gat_attention,
+                                                       gatv2_attention)
+    g = _graph(n=60, e=300, seed=21)
+    rng = np.random.default_rng(5)
+    d = 8
+    x32 = jnp.asarray(rng.standard_normal((g.n_pad, d)), jnp.float32)
+    a32 = jnp.asarray(rng.standard_normal((d, 2)), jnp.float32)
+
+    def paths(x, a):
+        dt = x.dtype
+        pi = (x @ a[:, :1])
+        pj = (x @ a[:, 1:])
+        outs = [gat_attention(g, pi, pj, x[:, None, :], 0.2)]
+        q = x.reshape(-1, 2, d // 2)
+        outs.append(dot_attention(g, q, q, q, 0.5))
+        outs.append(gatv2_attention(g, q, q, a[: d // 2], 0.2))
+        return outs
+
+    ref = paths(x32, a32)
+    got = paths(x32.astype(jnp.bfloat16), a32.astype(jnp.bfloat16))
+    for r, o in zip(ref, got):
+        assert o.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(r),
+                                   np.asarray(o.astype(jnp.float32)),
+                                   rtol=0.1, atol=0.05)
+
+    def loss(x):
+        return sum(jnp.sum(o.astype(jnp.float32) ** 2)
+                   for o in paths(x.astype(jnp.bfloat16),
+                                  a32.astype(jnp.bfloat16)))
+
+    gx = jax.grad(lambda x: loss(x))(x32)
+    assert bool(jnp.isfinite(gx).all())
