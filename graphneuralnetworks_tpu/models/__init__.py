@@ -1,6 +1,6 @@
 """Layer zoo: basics, conv, pooling, temporal, hetero (flax.nnx modules)."""
 
-from .basic import GNNLayer, GNNChain, WithGraph, DotDecoder
+from .basic import (GNNLayer, GNNChain, WithGraph, DotDecoder, Precision)
 from .conv import (GCNConv, ChebConv, GraphConv, GATConv, GATv2Conv,
                    GatedGraphConv, EdgeConv, GINConv, NNConv, SAGEConv,
                    ResGatedGraphConv, CGConv, AGNNConv, MEGNetConv, GMMConv,
@@ -12,7 +12,7 @@ from .temporalconv import (GNNRecurrence, GConvGRUCell, GConvLSTMCell,
                            GConvLSTM, DCGRU, EvolveGCNO, TGCN, A3TGCN)
 
 __all__ = [
-    "GNNLayer", "GNNChain", "WithGraph", "DotDecoder",
+    "GNNLayer", "GNNChain", "WithGraph", "DotDecoder", "Precision",
     "GCNConv", "ChebConv", "GraphConv", "GATConv", "GATv2Conv",
     "GatedGraphConv", "EdgeConv", "GINConv", "NNConv", "SAGEConv",
     "ResGatedGraphConv", "CGConv", "AGNNConv", "MEGNetConv", "GMMConv",

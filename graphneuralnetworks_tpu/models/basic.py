@@ -13,13 +13,15 @@ from __future__ import annotations
 
 import inspect
 
+import jax
 import jax.numpy as jnp
 from flax import nnx
 
 from ..graph import GraphTuple
 from ..ops import apply_edges, xi_dot_xj
 
-__all__ = ["GNNLayer", "GNNChain", "WithGraph", "DotDecoder", "glorot_uniform"]
+__all__ = ["GNNLayer", "GNNChain", "WithGraph", "DotDecoder", "Precision",
+           "glorot_uniform"]
 
 glorot_uniform = nnx.initializers.glorot_uniform
 
@@ -141,6 +143,45 @@ class WithGraph(nnx.Module):
         if isinstance(x, GraphTuple):  # explicit graph overrides stored one
             return self.model(x, *args, **kw)
         return self.model(self._graph(), x, *args, **kw)
+
+
+class Precision(GNNLayer):
+    """Mixed-precision wrapper: run any layer (or chain) in ``dtype``.
+
+    TPU-native mixed precision (the Flux-analog of ``f16(model)``, but with
+    f32 MASTER parameters — the standard large-scale training recipe):
+    at call time float parameters and float array inputs are cast to
+    ``dtype`` (bfloat16 by default — the MXU-native type), the wrapped
+    module runs entirely in that dtype (the fused Pallas kernels keep their
+    softmax state in f32 internally, see ops/pallas/edge_softmax.py), and
+    gradients flow back through the casts so optimizer state and updates
+    stay f32.
+
+    Example::
+
+        model = Precision(GNNChain(GCNConv(16, 32, relu, rngs=rngs),
+                                   GATConv(32, 8, rngs=rngs)))
+        y = model(g, x)            # bf16 compute, ~half the HBM traffic
+        loss = f(y.astype(jnp.float32))
+    """
+
+    def __init__(self, module: nnx.Module, dtype=jnp.bfloat16):
+        self.module = module
+        self.dtype = dtype
+
+    def _cast(self, v):
+        if isinstance(v, (jax.Array, nnx.Param)) and jnp.issubdtype(
+                jnp.asarray(v).dtype, jnp.floating):
+            return jnp.asarray(v).astype(self.dtype)
+        return v
+
+    def __call__(self, g, x=None, *args, **kw):
+        gd, state = nnx.split(self.module)
+        low = jax.tree.map(self._cast, state)
+        x = jax.tree.map(self._cast, x) if x is not None else None
+        args = jax.tree.map(self._cast, args)
+        kw = jax.tree.map(self._cast, kw)
+        return nnx.merge(gd, low)(g, x, *args, **kw)
 
 
 class DotDecoder(GNNLayer):

@@ -165,3 +165,36 @@ def test_rand_graph_duplicates_undirected_edge_features():
         key = (min(s[i], r[i]), max(s[i], r[i]))
         by_pair.setdefault(key, []).append((tuple(feats[i]), ws[i]))
     assert all(len(v) == 2 and v[0] == v[1] for v in by_pair.values())
+
+
+def test_precision_wrapper_bf16():
+    """models.Precision runs any layer/chain in bf16 with f32 master
+    params: bf16 output tracking the f32 result, f32 parameter grads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import nnx
+
+    import graphneuralnetworks_tpu as gnn
+    from graphneuralnetworks_tpu import models as M
+
+    g = gnn.rand_graph(80, 400, seed=0, build_spmm_aux=True)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((g.n_pad, 8)), jnp.float32)
+    inner = M.GNNChain(M.GCNConv(8, 16, jax.nn.relu, rngs=nnx.Rngs(0)),
+                       M.GATConv(16, 4, heads=2, rngs=nnx.Rngs(1)))
+    model = M.Precision(inner)
+    y32 = inner(g, x)
+    y16 = model(g, x)
+    assert y16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(y32),
+                               np.asarray(y16.astype(jnp.float32)),
+                               rtol=0.05, atol=0.05)
+    gd, st = nnx.split(model)
+
+    def loss(st):
+        return jnp.sum(nnx.merge(gd, st)(g, x).astype(jnp.float32) ** 2)
+
+    grads = jax.tree.leaves(jax.grad(loss)(st))
+    assert all(l.dtype == jnp.float32 for l in grads)
+    assert all(bool(jnp.isfinite(l).all()) for l in grads)
