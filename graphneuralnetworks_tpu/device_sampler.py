@@ -82,7 +82,10 @@ class DeviceSampler:
     """
 
     csr_send: jax.Array        # int32[E]   senders grouped by receiver
-    ptr: jax.Array             # int32[N+1] CSR row pointers (in-edges)
+    # [N, 2] packed (row start, degree): ONE vectorized 8-byte-row gather
+    # per frontier instead of two width-1 ptr gathers (width-1 gathers hit
+    # XLA's pathological per-element lowering on TPU — see ops/segment.py)
+    lo_deg: jax.Array
     senders: jax.Array         # int32[e_pad] structural constant (slot space)
     receivers: jax.Array       # int32[e_pad] structural constant, sorted
     spmm_aux: tuple | None     # prebuilt (aux_fwd, aux_rev), batch-invariant
@@ -182,14 +185,16 @@ class DeviceSampler:
                 num_graphs=jnp.int32(1),
                 node_graph_id=jnp.zeros((np_j,), jnp.int32),
                 spmm_aux=aux_j, num_graphs_static=1,
-                sorted_by_receivers=True))
+                sorted_by_receivers=True,
+                senders_iota_offset=int(batch_size)))
             bsizes.append((e_j, n_in))
 
+        lo_deg = np.stack([ptr[:-1], np.diff(ptr)], axis=1).astype(np.int32)
         return cls(
             block_templates=tuple(templates),
             block_sizes=tuple(bsizes),
             csr_send=jnp.asarray(csr_send),
-            ptr=jnp.asarray(ptr.astype(np.int32)),
+            lo_deg=jnp.asarray(lo_deg),
             senders=jnp.asarray(s_p),
             receivers=jnp.asarray(r_p),
             spmm_aux=aux,
@@ -227,6 +232,7 @@ class DeviceSampler:
             spmm_aux=self.spmm_aux,
             num_graphs_static=1,
             sorted_by_receivers=True,
+            senders_iota_offset=self.batch_size,
         )
 
     def sample_blocks(self, key, seeds) -> tuple:
@@ -253,20 +259,25 @@ class DeviceSampler:
         if seeds.shape != (self.batch_size,):
             raise ValueError(
                 f"seeds shape {seeds.shape} != ({self.batch_size},)")
+        from .ops.segment import gather
         nid_layers = [seeds.astype(jnp.int32)]
         valid_prev = jnp.ones((self.batch_size,), bool)
         evalid = []
+        # one PRNG call for every layer's uniforms (per-call overhead is
+        # real on the measured chip: ~1.4ms/batch as two calls)
+        u_all = jax.random.uniform(key, (self.e_total,))
+        pos = 0
         for li, k in enumerate(self.fanouts):
-            sub = jax.random.fold_in(key, li)
             v = jnp.repeat(nid_layers[-1], k)               # [L_i]
             pv = jnp.repeat(valid_prev, k)
-            lo = self.ptr[v]
-            deg = self.ptr[v + 1] - lo
-            u = jax.random.uniform(sub, v.shape)
+            pair = gather(self.lo_deg, v)                   # [L_i, 2]
+            lo, deg = pair[:, 0], pair[:, 1]
+            u = u_all[pos:pos + v.shape[0]]
+            pos += v.shape[0]
             # floor(u*deg) can round up to deg in f32 near u -> 1; clamp.
             pick = lo + jnp.minimum((u * deg).astype(jnp.int32),
                                     jnp.maximum(deg - 1, 0))
-            snd = self.csr_send[pick]
+            snd = gather(self.csr_send, pick)   # widened 8-byte-row gather
             val = pv & (deg > 0)
             # invalid slots echo the parent id: X[nid] stays benign and the
             # slot's (masked) messages read a real feature row

@@ -96,6 +96,12 @@ class GraphTuple:
         default=1, metadata=dict(static=True))
     sorted_by_receivers: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
+    # when not None, senders[t] == offset + t for every REAL edge (the
+    # device sampler's layer-major slot layout): sender-side node gathers
+    # become pure row slices (and their VJPs free slices instead of
+    # scatter-adds) on the segment aggregation path (ops/msgpass.py).
+    senders_iota_offset: int | None = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
     # ---- static capacities -------------------------------------------------
     @property

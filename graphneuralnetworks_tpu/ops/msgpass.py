@@ -95,6 +95,18 @@ def apply_edges(f: Callable, g: GraphTuple, xi=None, xj=None, e=None):
         # below that the two plain endpoint gathers are faster.
         from .pallas.sddmm import sddmm
         return sddmm(xi, xj, g.spmm_aux, (g.e_pad,))[:, None]
+    off = getattr(g, "senders_iota_offset", None)
+
+    def take_iota(v):
+        # device-sampled slot layout: senders[t] == off + t, so the sender
+        # gather is a row SLICE (fwd and VJP both transaction-free); rows
+        # past the real edges belong to padded edges, masked by consumers
+        sl = v[off:off + g.e_pad]
+        if sl.shape[0] < g.e_pad:
+            sl = jnp.pad(sl, ((0, g.e_pad - sl.shape[0]),)
+                         + ((0, 0),) * (v.ndim - 1))
+        return sl
+
     if g.spmm_aux is not None:
         from .pallas.gather import fast_gather
         aux_fwd, aux_rev = g.spmm_aux
@@ -105,6 +117,8 @@ def apply_edges(f: Callable, g: GraphTuple, xi=None, xj=None, e=None):
             return gather(v, r)
 
         def take_s(v):
+            if off is not None and v.shape[0] == g.n_pad:
+                return take_iota(v)
             if v.ndim == 2 and v.shape[0] == g.n_pad:
                 return fast_gather(v, s, aux_rev, g.n_pad)
             return gather(v, s)
@@ -112,8 +126,13 @@ def apply_edges(f: Callable, g: GraphTuple, xi=None, xj=None, e=None):
         xi_e = _map_leaves(take_r, xi)
         xj_e = _map_leaves(take_s, xj)
     else:
+        def take_s_slow(v):
+            if off is not None and v.shape[0] == g.n_pad:
+                return take_iota(v)
+            return gather(v, s)
+
         xi_e = _map_leaves(lambda v: gather(v, r), xi)
-        xj_e = _map_leaves(lambda v: gather(v, s), xj)
+        xj_e = _map_leaves(take_s_slow, xj)
     return f(xi_e, xj_e, e)
 
 

@@ -74,6 +74,13 @@ class _Host:
 
 
 def _unpack(g: GraphTuple) -> _Host:
+    if g.edge_valid is not None:
+        # device-sampled graphs (device_sampler.DeviceSampler) scatter their
+        # invalid edges inside the real-edge prefix; prefix-based host
+        # surgery would silently treat them as real
+        raise ValueError(
+            "host transforms do not support graphs with edge_valid "
+            "(device-sampled batches); transform the source graph instead")
     nn, ne, ng = int(g.num_nodes), int(g.num_edges), int(g.num_graphs)
     return _Host(
         s=np.asarray(g.senders)[:ne].copy(),
