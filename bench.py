@@ -51,7 +51,7 @@ CACHE_DIR = os.path.join(REPO, ".bench_cache")
 # train 60s) so a wedged remote compile — the dominant failure mode,
 # roughly every other heavy subprocess — is cut and retried quickly.
 PHASES = [("large", 240, 3, "large_xla"),
-          ("sage_device", 320, 2, "sage_dev_epoch_s"),
+          ("sage_device", 540, 2, "sage_dev_epoch_s"),
           ("sage_epoch", 420, 2, "sage_epoch_s"),
           ("sddmm_attn", 220, 3, "attention"),
           ("small", 150, 3, "small_xla"),

@@ -13,6 +13,9 @@ EXAMPLES = [
     ("examples/graphsage_sampling.py",
      ["--epochs", "1", "--nodes", "2000", "--batch-size", "128",
       "--fanout", "4", "4"]),
+    ("examples/graphsage_sampling.py",
+     ["--epochs", "1", "--nodes", "2000", "--batch-size", "64",
+      "--fanout", "4", "3", "--device-sampler"]),
     ("examples/hetero_recommendation.py", ["--epochs", "3"]),
     ("examples/temporal_node_classification.py", ["--epochs", "2"]),
     ("examples/graph_classification_temporalbrains.py",
