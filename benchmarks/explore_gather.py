@@ -394,6 +394,77 @@ def p9():
                   f"{str(ex)[:200]}", flush=True)
 
 
+def p10():
+    """Structured run/const gathers vs plain XLA gather on real aux maps."""
+    from graphneuralnetworks_tpu.ops.runs import build_run_meta, run_gather
+    import graphneuralnetworks_tpu as gnn
+    print("p10 building graph ...", flush=True)
+    g = gnn.rand_graph(N, E, seed=1, build_spmm_aux=True)
+    print("p10 graph built", flush=True)
+    aux = g.spmm_aux[0]
+    rng = np.random.default_rng(0)
+    e_pad = g.e_pad
+    total = aux.n_eblk * aux.senders_grp.shape[1]
+    perm = np.asarray(aux.edge_perm).reshape(-1)
+    slot = np.asarray(aux.edge_slot)
+    recv = np.asarray(g.receivers)
+    iters = 10
+
+    def bench(tag, plan_src_len, metas, src_d, plain_idx):
+        src = jnp.asarray(rng.standard_normal(
+            (plan_src_len,) if src_d == 1 else (plan_src_len, src_d)),
+            jnp.float32)
+        print(f"p10 {tag} starting ...", flush=True)
+        for ch, meta in metas:
+            if meta is None:
+                print(f"p10 {tag} ch={ch}: meta None (K>cap)", flush=True)
+                continue
+
+            @jax.jit
+            def run(src, meta=meta):
+                def body(i, s):
+                    y = run_gather(s, meta)
+                    upd = jnp.sum(y) * 1e-12
+                    return s * 0.9999 + upd
+                return jax.lax.fori_loop(0, iters, body, src)
+
+            ms = timeit(run, src, iters=iters)
+            print(f"p10 {tag} ch={ch} K={meta.k}: {ms:.3f} ms", flush=True)
+        idx = jnp.asarray(plain_idx, jnp.int32)
+
+        @jax.jit
+        def runp(src):
+            def body(i, s):
+                y = s.at[jnp.minimum(idx, plan_src_len - 1)].get(
+                    mode="promise_in_bounds")
+                return s * 0.9999 + jnp.sum(y) * 1e-12
+            return jax.lax.fori_loop(0, iters, body, src)
+
+        ms = timeit(runp, src, iters=iters)
+        print(f"p10 {tag} plain-gather: {ms:.3f} ms", flush=True)
+
+    # w regroup: edge-order -> slots, scalar
+    bench("grp_s", e_pad + 1,
+          [(c, build_run_meta(perm, ch=c, dummy_idx=e_pad)) for c in
+           (128, 512)], 1, perm)
+    # dy regroup: edge-order -> slots, rows D=128
+    bench("grp_r", e_pad + 1,
+          [(c, build_run_meta(perm, ch=c, dummy_idx=e_pad)) for c in
+           (8, 16, 32)], 128, perm)
+    # dots ungroup: slots -> edge order, scalar
+    bench("ung_s", total,
+          [(c, build_run_meta(slot, ch=c, dummy_idx=total)) for c in
+           (128, 512)], 1, slot)
+    # receivers const: node rows -> edges, rows D=128
+    bench("recv_r", g.n_pad,
+          [(c, build_run_meta(recv, ch=c, const=True)) for c in
+           (16, 32, 64)], 128, recv)
+    # receivers const scalar
+    bench("recv_s", g.n_pad,
+          [(c, build_run_meta(recv, ch=c, const=True)) for c in
+           (128, 256)], 1, recv)
+
+
 if __name__ == "__main__":
     for name in sys.argv[1:] or ["p1"]:
         globals()[name]()
