@@ -24,13 +24,18 @@ mapping (``NID``) changes between batches. So:
   the only per-batch inputs are the seed ids and an RNG key, and a whole
   epoch's seeds can be shipped once as one [n_batches, B] array.
 
-Sampling semantics: WITH replacement (the reference's
+Sampling semantics: WITH replacement by default (the reference's
 ``sample_neighbors(..., replace=true)``), no dedup — a node reached twice
 occupies two slots and recomputes; correctness is unaffected and the MXU
-does not care. Nodes with zero in-degree produce edges with
-``edge_valid=False`` (a scattered, non-prefix mask — see
-graph.GraphTuple.edge_valid), and their sampled child slot falls back to
-the parent's own id so feature gathers stay benign.
+does not care. ``build(..., replace=False)`` draws DISTINCT neighbors per
+parent (GNNGraphs/src/sampling.jl:68-118 ``replace=false``): a vectorized
+Floyd sampler (k static -> unrolled; k^2 integer compares per parent on
+the VPU, shape-free) picks k distinct in-neighbors when degree >= k and
+takes all of them otherwise, marking the excess slots ``edge_valid=False``.
+Nodes with zero in-degree produce edges with ``edge_valid=False`` (a
+scattered, non-prefix mask — see graph.GraphTuple.edge_valid), and their
+sampled child slot falls back to the parent's own id so feature gathers
+stay benign.
 
 Usage (pass the sampler as a jit ARGUMENT — never a closure, the CSR
 would be baked into the HLO as a constant):
@@ -102,10 +107,13 @@ class DeviceSampler:
     # (E_j, n_in_j) true sizes per block (static, parallel to templates)
     block_sizes: tuple = dataclasses.field(
         default=(), metadata=dict(static=True))
+    replace: bool = dataclasses.field(
+        default=True, metadata=dict(static=True))
 
     @classmethod
     def build(cls, csr_send, ptr, *, fanouts, batch_size: int,
-              build_spmm_aux: bool = True) -> "DeviceSampler":
+              build_spmm_aux: bool = True,
+              replace: bool = True) -> "DeviceSampler":
         """Host-side constructor: derives the structural slot graph, prebuilds
         the SpMM grouping, and places the CSR on device.
 
@@ -205,6 +213,7 @@ class DeviceSampler:
             e_total=e_total,
             n_pad=n_pad,
             e_pad=e_pad,
+            replace=bool(replace),
         )
 
     def sample(self, key, seeds) -> GraphTuple:
@@ -268,17 +277,43 @@ class DeviceSampler:
         u_all = jax.random.uniform(key, (self.e_total,))
         pos = 0
         for li, k in enumerate(self.fanouts):
-            v = jnp.repeat(nid_layers[-1], k)               # [L_i]
+            parents = nid_layers[-1]
+            v = jnp.repeat(parents, k)                      # [L_i]
             pv = jnp.repeat(valid_prev, k)
             pair = gather(self.lo_deg, v)                   # [L_i, 2]
             lo, deg = pair[:, 0], pair[:, 1]
             u = u_all[pos:pos + v.shape[0]]
             pos += v.shape[0]
-            # floor(u*deg) can round up to deg in f32 near u -> 1; clamp.
-            pick = lo + jnp.minimum((u * deg).astype(jnp.int32),
-                                    jnp.maximum(deg - 1, 0))
+            if self.replace:
+                # floor(u*deg) rounds up to deg in f32 near u -> 1; clamp.
+                idx = jnp.minimum((u * deg).astype(jnp.int32),
+                                  jnp.maximum(deg - 1, 0))
+                val = pv & (deg > 0)
+            else:
+                np_par = parents.shape[0]
+                degp = gather(self.lo_deg, parents)[:, 1]   # [P]
+                uk = u.reshape(np_par, k)
+                # Floyd's algorithm, k statically unrolled: step j draws
+                # t ~ U[0, d-k+j+1); if t already picked keep d-k+j instead.
+                # Valid only when d >= k; parents with d <= k take ALL d
+                # neighbors (slots j >= d invalidated below).
+                picked = jnp.full((np_par, k), -1, jnp.int32)
+                for j in range(k):
+                    rng_j = jnp.maximum(degp - k + j + 1, 1)
+                    t = jnp.minimum((uk[:, j] * rng_j).astype(jnp.int32),
+                                    rng_j - 1)
+                    coll = jnp.any(picked == t[:, None], axis=1)
+                    pick_j = jnp.where(coll, degp - k + j, t)
+                    picked = picked.at[:, j].set(pick_j)
+                seq = jax.lax.broadcasted_iota(jnp.int32, (np_par, k), 1)
+                idx = jnp.where((degp > k)[:, None], picked, seq)
+                # invalid slots (j >= d) may index past the node's range;
+                # clamp so the (discarded) CSR read stays in the node's rows
+                idx = jnp.minimum(idx.reshape(-1),
+                                  jnp.maximum(deg - 1, 0))
+                val = pv & (seq.reshape(-1) < deg)
+            pick = lo + idx
             snd = gather(self.csr_send, pick)   # widened 8-byte-row gather
-            val = pv & (deg > 0)
             # invalid slots echo the parent id: X[nid] stays benign and the
             # slot's (masked) messages read a real feature row
             snd = jnp.where(val, snd, v)

@@ -351,51 +351,49 @@ def spmm_gather_scatter(x, w, auxes, n_pads):
     return _spmm_impl(x, w, auxes[0], n_pads[0])
 
 
-def _spmm_impl(x, w, aux: SpmmAux, n_dst_pad: int):
+def _spmm_impl(x, w, aux: SpmmAux, n_dst_pad: int, *, return_vals=False):
     from ..segment import gather
     vals = gather(x, aux.senders_grp)              # [n_eblk, BE, D]
     w_grp = None if w is None else gather(w, aux.edge_perm)
-    return _scatter_grouped(vals, aux, n_dst_pad, w_grp=w_grp,
-                            interpret=_use_interpret())
+    y = _scatter_grouped(vals, aux, n_dst_pad, w_grp=w_grp,
+                         interpret=_use_interpret())
+    return (y, vals) if return_vals else y
 
 
 def _spmm_fwd(x, w, auxes, n_pads):
-    return spmm_gather_scatter(x, w, auxes, n_pads), (x, w, auxes)
+    y, vals = _spmm_impl(x, w, auxes[0], n_pads[0], return_vals=True)
+    # The grouped sender rows are the expensive part of the forward (a
+    # descriptor-rate-bound gather, GATHER_STUDY.md); keep them as a VJP
+    # residual so dw needs ZERO new gathers. Only when w is differentiable —
+    # the unweighted path keeps the old (x, w, auxes)-only residuals.
+    return y, (x, w, auxes, vals if w is not None else None)
 
 
 def _spmm_bwd(n_pads, res, dy):
-    x, w, auxes = res
+    x, w, auxes, vals = res
     aux_fwd, aux_rev = auxes
     dx = _spmm_impl(dy, w, aux_rev, n_pads[1])
     if w is None:
         dw = None
     else:
-        # dw_e = <dy[r_e], x[s_e]> — an SDDMM in original edge order.
-        # (The previous formulation gathered BOTH endpoint rows into
-        # grouped space and scattered the dots back with a width-2
-        # scatter-add: ~118ms at 2M edges/D=128 vs 6.3ms forward. Both
-        # paths below come back to edge order through the precomputed
-        # inverse permutation — a GATHER, never a scatter.)
-        from .sddmm import _sddmm_impl
-        e_pad = aux_fwd.edge_slot.shape[0]
-        if x.shape[1] > 256:
-            # wide features: the grouped kernel (receiver rows ride the
-            # output block, only the sender side pays a gather)
-            dots = _sddmm_impl(dy, x, aux_fwd, e_pad)
-        else:
-            # narrow features: two plain edge-order gathers win (same
-            # crossover as ops/msgpass.apply_edges). Edge-order endpoint
-            # ids are recovered from the grouping via edge_slot.
-            total = aux_fwd.n_eblk * aux_fwd.senders_grp.shape[1]
-            zero = jnp.zeros((1,), jnp.int32)
-            s_e = jnp.concatenate(
-                [aux_fwd.senders_grp.reshape(-1), zero])[aux_fwd.edge_slot]
-            r_flat = (aux_fwd.block_rows[:, None] * BN
-                      + jnp.maximum(aux_fwd.recv_local, 0)).reshape(-1)
-            r_e = jnp.concatenate([r_flat, zero])[aux_fwd.edge_slot]
-            from ..segment import gather as _gather
-            dots = jnp.sum(_gather(dy, r_e) * _gather(x, s_e), -1)
-            dots = jnp.where(aux_fwd.edge_slot >= total, 0.0, dots)
+        # dw_e = <dy[r_e], x[s_e]> — a grouped SDDMM on the forward's saved
+        # sender rows: the receiver side (dy) rides the output row block
+        # inside the kernel, so the whole dw costs one kernel sweep plus the
+        # slot->edge ungroup gather. (Round-3 formulation re-gathered both
+        # endpoints edge-order: 42 ms at 2M/128 vs ~8 ms now; the history of
+        # the 118 ms scatter-add formulation is in git.)
+        from ..segment import gather as _gather
+        from .sddmm import _pad_cols, _pad_rows, _sddmm_grouped
+        bd = min(max(dy.shape[1], 128), BD)
+        dy_p = _pad_cols(dy.astype(jnp.float32), bd)
+        n_nblk = -(-dy_p.shape[0] // BN)
+        dy_p = _pad_rows(dy_p, n_nblk * BN)
+        vflat = _pad_cols(vals.reshape(-1, vals.shape[-1])
+                          .astype(jnp.float32), bd)
+        dots_grp = _sddmm_grouped(dy_p, vflat, aux_fwd)     # [n_eblk, BE]
+        flat = jnp.concatenate([dots_grp.reshape(-1),
+                                jnp.zeros((1,), dots_grp.dtype)])
+        dots = _gather(flat, aux_fwd.edge_slot)             # [E_pad]
         dw = jnp.concatenate([dots.astype(w.dtype),
                               jnp.zeros((1,), w.dtype)])
     return dx, dw, None

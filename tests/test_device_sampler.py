@@ -243,3 +243,66 @@ def test_build_validation():
     with pytest.raises(ValueError):
         DeviceSampler.build(np.zeros(5, np.int32), np.array([0, 2, 4]),
                             fanouts=(2,), batch_size=2)   # ptr[-1] mismatch
+
+def test_without_replacement_distinct_and_complete():
+    """replace=False: distinct picks when deg > k; ALL neighbors (each
+    exactly once) when deg <= k, excess slots invalid. Analog:
+    GNNGraphs/src/sampling.jl:68-118 with replace=false."""
+    rng = np.random.default_rng(0)
+    g = gnn.rand_graph(40, 400, seed=3)
+    cs, ptr, n = _csr(g)
+    k = 5
+    sp = DeviceSampler.build(cs, ptr, fanouts=(k,), batch_size=16,
+                             build_spmm_aux=False, replace=False)
+    seeds = rng.integers(0, n, size=16)
+    for trial in range(5):
+        gt = _sample(sp, seeds, seed=trial)
+        nid = np.asarray(gt.nodes["NID"])
+        ev = np.asarray(gt.edge_valid)[: sp.e_total]
+        deg = np.diff(ptr)
+        for i, v in enumerate(seeds):
+            d = int(deg[v])
+            picks = nid[16 + i * k: 16 + (i + 1) * k]
+            valid = ev[i * k: (i + 1) * k]
+            neigh = set(cs[ptr[v]:ptr[v + 1]].tolist())
+            got = picks[valid].tolist()
+            # distinct…
+            assert len(got) == len(set(got)), (v, got)
+            # …from the true neighbor multiset's support
+            assert set(got) <= neigh
+            if d <= k:
+                # all neighbors taken, exactly the support, excess invalid
+                assert valid.sum() == min(d, k)
+                assert set(got) == neigh
+            else:
+                assert valid.all()
+
+
+def test_without_replacement_marginals_match_host():
+    """Inclusion probability of each neighbor is ~k/d (uniform), matching
+    the host sampler's replace=False distribution."""
+    rng = np.random.default_rng(1)
+    # one hub node with degree 12, sampled with k=4 -> p_incl = 1/3 each
+    d, k, trials = 12, 4, 1500
+    senders = np.arange(1, d + 1, dtype=np.int32)
+    cs = senders.copy()
+    ptr = np.zeros(d + 2, np.int64)
+    ptr[1] = d                       # node 0 has the d in-neighbors
+    ptr[2:] = d
+    sp = DeviceSampler.build(cs, ptr, fanouts=(k,), batch_size=1,
+                             build_spmm_aux=False, replace=False)
+    seeds = jnp.zeros((1,), jnp.int32)
+
+    @jax.jit
+    def draw(sampler, key):
+        return sampler.sample(key, seeds).nodes["NID"][1:1 + k]
+
+    keys = jax.random.split(jax.random.key(42), trials)
+    picks = np.asarray(jax.vmap(lambda kk: draw(sp, kk))(keys))
+    counts = np.bincount(picks.reshape(-1), minlength=d + 1)[1:]
+    # every draw distinct
+    assert all(len(set(row.tolist())) == k for row in picks)
+    p = counts / (trials * k)
+    # uniform 1/d per slot; tolerance ~5 sigma of binomial
+    sigma = np.sqrt((1 / d) * (1 - 1 / d) / (trials * k))
+    assert np.all(np.abs(p - 1 / d) < 5 * sigma), p
