@@ -30,6 +30,7 @@ MODULES = [
     "graphneuralnetworks_tpu.profiling",
     "graphneuralnetworks_tpu.ops.msgpass",
     "graphneuralnetworks_tpu.ops.segment",
+    "graphneuralnetworks_tpu.ops.runs",
     "graphneuralnetworks_tpu.ops.attention",
     "graphneuralnetworks_tpu.ops.gutils",
     "graphneuralnetworks_tpu.ops.pallas.spmm",
@@ -60,7 +61,8 @@ def sig_of(obj):
         return "(...)"
 
 
-def main():
+def render() -> str:
+    """Render the full api.md content (used by main() and the drift test)."""
     import jax
     jax.config.update("jax_platforms", "cpu")
     out = io.StringIO()
@@ -91,10 +93,15 @@ def main():
                               f"{mdoc_.splitlines()[0] if mdoc_ else ''}\n")
             elif callable(obj):
                 out.write(f"\n### `{sym}{sig_of(obj)}`\n\n{doc}\n")
+    return out.getvalue()
+
+
+def main():
+    content = render()
     path = os.path.join(os.path.dirname(__file__), "api.md")
     with open(path, "w") as f:
-        f.write(out.getvalue())
-    print(f"wrote {path} ({len(out.getvalue().splitlines())} lines)")
+        f.write(content)
+    print(f"wrote {path} ({len(content.splitlines())} lines)")
 
 
 if __name__ == "__main__":

@@ -1,8 +1,16 @@
 """Datasets and loaders (host-side)."""
 
-from .datasets import (synthetic_cora, synthetic_tudataset,
-                       mldataset_to_graph, planetoid_from_files)
+from .datasets import (LargeGraphData, TemporalSignalData, load_cora,
+                       load_metrla, load_ogbn_products, mldataset_to_graph,
+                       metrla_from_files, ogbn_from_files,
+                       planetoid_from_files, planetoid_from_raw,
+                       synthetic_cora, synthetic_tudataset,
+                       tudataset_from_files)
 from .loader import DataLoader
 
 __all__ = ["synthetic_cora", "synthetic_tudataset", "mldataset_to_graph",
-           "planetoid_from_files", "DataLoader"]
+           "planetoid_from_files", "planetoid_from_raw",
+           "tudataset_from_files", "load_cora",
+           "LargeGraphData", "ogbn_from_files", "load_ogbn_products",
+           "TemporalSignalData", "metrla_from_files", "load_metrla",
+           "DataLoader"]

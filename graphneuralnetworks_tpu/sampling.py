@@ -292,6 +292,13 @@ class NeighborLoader:
         self.n_pad = round_up(max_nodes + 1, 8)
         self.e_pad = round_up(max(max_edges, 1), 128)
 
+    @property
+    def csr(self):
+        """The loader's in-CSR ``(csr_send, csr_eid, ptr)`` — cache to disk
+        and rebuild with :meth:`from_csr` to skip the argsort pass, or feed
+        ``(csr_send, ptr)`` to :class:`~..device_sampler.DeviceSampler`."""
+        return self._csr_send, self._csr_eid, self._ptr
+
     @classmethod
     def from_csr(cls, csr_send, csr_eid, ptr, *, num_nodes=None,
                  **kw) -> "NeighborLoader":
