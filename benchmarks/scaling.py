@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--edges", type=int, default=1_000_000)
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--out", type=str, default=None,
+                    help="also write all JSON rows to this file")
     args = ap.parse_args()
 
     if args.virtual:
@@ -49,6 +51,16 @@ def main():
     x = np.random.default_rng(0).standard_normal(
         (nn_, args.d)).astype(np.float32)
 
+    # analytic ICI model constants (one v5e-class chip): per-chip compute
+    # rate from the measured single-chip SpMM (BENCH large_graph_ms) and the
+    # ICI bandwidth per chip. On v5e each chip has 4 ICI links at ~100 GB/s
+    # each (2D torus, ~400 GB/s aggregate; the scaling-book numbers) — a
+    # ring all_to_all effectively uses ~1 link pair per neighbor exchange,
+    # so we model conservative 100 GB/s per chip of halo throughput.
+    ICI_GBPS = 100.0
+    SPMM_EDGES_PER_S_1CHIP = 2_000_000 / 6.43e-3   # BENCH_r03 large_graph
+
+    rows = []
     n_avail = len(jax.devices())
     base_rate = None
     for p in [1, 2, 4, 8, 16, 32]:
@@ -74,13 +86,43 @@ def main():
         rate = args.edges / dt
         if base_rate is None:
             base_rate = rate
-        print(json.dumps({
+        # analytic v5e projection: per-chip compute time for E/p edges at
+        # the measured 1-chip SpMM rate, plus halo rows shipped over ICI
+        # (max per chip = worst shard's send volume ~ halo_rows/p on a
+        # balanced cut), no overlap assumed (conservative).
+        halo_bytes = pg.halo_bytes_per_step(args.d)
+        t_comp = (args.edges / p) / SPMM_EDGES_PER_S_1CHIP
+        t_comm = (halo_bytes / max(p, 1)) / (ICI_GBPS * 1e9) if p > 1 else 0
+        eff_model = t_comp / (t_comp + t_comm)
+        row = {
             "devices": p,
             "ms_per_step": round(dt * 1e3, 3),
             "edges_per_s": round(rate),
             "efficiency": round(rate / (base_rate * p), 3),
             "h_max": pg.h_max,
-        }))
+            "cut_fraction": round(pg.cut_fraction, 4),
+            "halo_mb_per_step": round(halo_bytes / 1e6, 3),
+            "ici_model_efficiency": round(eff_model, 3),
+            "ici_model_ms": round((t_comp + t_comm) * 1e3, 3),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({
+                "config": {"nodes": args.nodes, "edges": args.edges,
+                           "d": args.d,
+                           "virtual_cpu_devices": args.virtual or None,
+                           "ici_gbps_assumed": ICI_GBPS,
+                           "spmm_edges_per_s_1chip": SPMM_EDGES_PER_S_1CHIP},
+                "note": ("--virtual rows measure RELATIVE sharding overhead "
+                         "on a CPU mesh (no real ICI); ici_model_* columns "
+                         "are the analytic v5e projection from the "
+                         "partition's measured cut"),
+                "rows": rows,
+            }, f, indent=1)
+        print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":

@@ -466,7 +466,7 @@ def dot_attention_nodes(q, k, values_n, auxes, ids, static_args,
 
 
 def _dot_forward(q, k, values_n, auxes, ids, static_args, self_logits,
-                 self_values):
+                 self_values, return_kv_grp: bool = False):
     from .spmm import BD
     aux, _ = auxes
     n_pad, _, scale, slope = static_args
@@ -486,70 +486,246 @@ def _dot_forward(q, k, values_n, auxes, ids, static_args, self_logits,
     # bf16 lane ops the running-max update needs (only K/V ride bf16)
     q_flat = (_lane_pad(q, bo).reshape(q.shape[0], h_dim * bo)
               .astype(jnp.float32))
+    kv_grp_flat = kv_grp.reshape(-1, h_dim * (bo + bd))
     y, m, s = _flash_dot_grouped(
-        q_flat, kv_grp.reshape(-1, h_dim * (bo + bd)), aux, n_pad,
+        q_flat, kv_grp_flat, aux, n_pad,
         float(scale), h_dim, bo, bd, slope)
     num = y.reshape(-1, h_dim, bd)[:, :, :d]              # [N, H, D]
-    return _finalize_softmax(num, m, s, self_logits, self_values, None)
+    out3 = _finalize_softmax(num, m, s, self_logits, self_values, None)
+    if return_kv_grp:
+        return out3 + (kv_grp_flat,)
+    return out3
 
 
 def _dot_fwd(q, k, values_n, auxes, ids, static_args, self_logits,
              self_values):
-    out, mx, den = _dot_forward(q, k, values_n, auxes, ids, static_args,
-                                self_logits, self_values)
+    out, mx, den, kv_grp = _dot_forward(q, k, values_n, auxes, ids,
+                                        static_args, self_logits,
+                                        self_values, return_kv_grp=True)
+    # kv_grp (the grouped [K|V] sender rows) is the forward's expensive
+    # gather (descriptor-rate bound, GATHER_STUDY.md); keeping it as a
+    # residual lets the dq backward kernel run with ZERO gathers.
     res = (q, k, values_n, auxes, ids, self_logits, self_values, out, mx,
-           den)
+           den, kv_grp)
     return out, res
 
 
-def _dot_bwd(static_args, res, dy):
-    from ..segment import gather as _g
-    (q, k, values_n, auxes, ids, self_logits, self_values, out, mx,
-     den) = res
-    aux, aux_rev = auxes
-    receivers, senders, edge_mask = ids
-    n_pad, n_src_pad, scale, slope = static_args
-    h_dim = q.shape[1]
-    raw = scale * jnp.sum(_g(q, receivers) * _g(k, senders), -1)  # [E, H]
+def _dot_bwd_dq_kernel(block_rows_ref, recv_ref, q_ref, scal_ref, dy_ref,
+                       kv_ref, dq_ref, *, scale: float, bo: int,
+                       slope: float | None):
+    """dq over the FORWARD grouping with ZERO gathers.
+
+    Everything receiver-side (q, dy, mx, den, s_n) rides the output row
+    block and is distributed to edge slots by one-hot MXU matmuls; the
+    sender side is the forward's saved kv_grp residual. Recomputes
+    logits -> alpha -> dlg in-kernel and accumulates
+    ``dq[r] += dlg_e k[s_e]``.
+    """
+    kidx = pl.program_id(1)
+    b = block_rows_ref[kidx]
+    prev = block_rows_ref[jnp.maximum(kidx - 1, 0)]
+
+    @pl.when(jnp.logical_or(kidx == 0, b != prev))
+    def _():
+        dq_ref[:] = jnp.zeros_like(dq_ref)
+
+    recv = recv_ref[0]                                    # [1, BE]
+    bn = dq_ref.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bn, recv.shape[1]), 0)
+    hit = rows == recv                                    # [BN, BE]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (recv.shape[1], bn), 1)
+    oh_t = (cols == recv[0][:, None]).astype(jnp.float32)  # [BE, BN]
+    q_slot = jax.lax.dot(oh_t, q_ref[:],
+                         preferred_element_type=jnp.float32)
+    dy_slot = jax.lax.dot(oh_t, dy_ref[:],
+                          preferred_element_type=jnp.float32)
+    scal_slot = jax.lax.dot(oh_t, scal_ref[0],
+                            preferred_element_type=jnp.float32)  # [BE, 8]
+    kg = kv_ref[:, :bo].astype(jnp.float32)
+    vg = kv_ref[:, bo:].astype(jnp.float32)
+    raw = jnp.sum(q_slot * kg, axis=1) * scale            # [BE]
     if slope is None:
         lg, dsig = raw, scale
     else:
         lg = jnp.where(raw >= 0, raw, slope * raw)
         dsig = jnp.where(raw >= 0, 1.0, slope) * scale
-    alpha_e = jnp.where(
-        edge_mask[:, None],
-        jnp.exp(jnp.where(edge_mask[:, None], lg, -jnp.inf)
-                - _g(mx, receivers)) / _g(den, receivers),
-        0.0)                                              # [E, H]
+    mx_s, den_s, sn_s = scal_slot[:, 0], scal_slot[:, 1], scal_slot[:, 2]
+    valid = recv[0] >= 0
+    alpha = jnp.where(valid, jnp.exp(lg - mx_s)
+                      / jnp.maximum(den_s, 1e-38), 0.0)   # [BE]
+    dlg = alpha * (jnp.sum(vg * dy_slot, axis=1) - sn_s) * dsig
+    one_hot_w = jnp.where(hit, dlg[None, :], 0.0)         # [BN, BE]
+    dq_ref[:] += jax.lax.dot(one_hot_w, kg,
+                             preferred_element_type=jnp.float32)
 
-    alpha_ext = jnp.concatenate(
-        [alpha_e, jnp.zeros((1, h_dim), alpha_e.dtype)])
-    dv_n = jnp.stack(
-        [_scatter_grouped(_g(dy[:, h, :], aux_rev.senders_grp), aux_rev,
-                          n_src_pad,
-                          w_grp=_g(alpha_ext[:, h], aux_rev.edge_perm),
-                          interpret=_use_interpret())
-         for h in range(h_dim)], axis=1)                  # [N_src, H, D]
 
-    dy_e = _g(dy, receivers)                              # [E, H, D]
-    v_e = _g(values_n, senders)                           # [E, H, D]
-    s_n = jnp.sum(out * dy, -1)                           # [N, H]
-    dlg = alpha_e * (jnp.sum(v_e * dy_e, -1)
-                     - _g(s_n, receivers)) * dsig         # [E, H]
-    dlg_ext = jnp.concatenate([dlg, jnp.zeros((1, h_dim), dlg.dtype)])
-    # dq[r] = Σ_e dlg_e k[s_e]   (forward grouping: by receiver)
-    dq = jnp.stack(
-        [_scatter_grouped(_g(k[:, h, :], aux.senders_grp), aux, n_pad,
-                          w_grp=_g(dlg_ext[:, h], aux.edge_perm),
-                          interpret=_use_interpret())
-         for h in range(h_dim)], axis=1)[:, :, :q.shape[2]]
-    # dk[s] = Σ_e dlg_e q[r_e]   (reverse grouping: by sender)
-    dk = jnp.stack(
-        [_scatter_grouped(_g(q[:, h, :], aux_rev.senders_grp), aux_rev,
-                          n_src_pad,
-                          w_grp=_g(dlg_ext[:, h], aux_rev.edge_perm),
-                          interpret=_use_interpret())
-         for h in range(h_dim)], axis=1)[:, :, :k.shape[2]]
+def _dot_bwd_dkv_kernel(block_rows_ref, recv_ref, kv_ref, rg_ref,
+                        dk_ref, dv_ref, *, scale: float, bo: int, bd: int,
+                        slope: float | None):
+    """dk and dv over the REVERSE grouping with ONE fused gather.
+
+    The sender side (k, v) rides the output row block; the receiver side
+    arrives as one wide gathered row per slot: ``[q | dy | mx den s_n]``
+    (rg_ref). Recomputes alpha/dlg in-kernel and accumulates
+    ``dv[s] += alpha_e dy[r_e]`` and ``dk[s] += dlg_e q[r_e]``.
+    """
+    kidx = pl.program_id(1)
+    b = block_rows_ref[kidx]
+    prev = block_rows_ref[jnp.maximum(kidx - 1, 0)]
+
+    @pl.when(jnp.logical_or(kidx == 0, b != prev))
+    def _():
+        dk_ref[:] = jnp.zeros_like(dk_ref)
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+
+    recv = recv_ref[0]                                    # [1, BE]
+    bn = dk_ref.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bn, recv.shape[1]), 0)
+    hit = rows == recv
+    cols = jax.lax.broadcasted_iota(jnp.int32, (recv.shape[1], bn), 1)
+    oh_t = (cols == recv[0][:, None]).astype(jnp.float32)
+    kv_slot = jax.lax.dot(oh_t, kv_ref[:].astype(jnp.float32),
+                          preferred_element_type=jnp.float32)
+    k_slot, v_slot = kv_slot[:, :bo], kv_slot[:, bo:]
+    q_g = rg_ref[:, :bo]
+    dy_g = rg_ref[:, bo:bo + bd]
+    mx_g = rg_ref[:, bo + bd]
+    den_g = rg_ref[:, bo + bd + 1]
+    sn_g = rg_ref[:, bo + bd + 2]
+    raw = jnp.sum(q_g * k_slot, axis=1) * scale
+    if slope is None:
+        lg, dsig = raw, scale
+    else:
+        lg = jnp.where(raw >= 0, raw, slope * raw)
+        dsig = jnp.where(raw >= 0, 1.0, slope) * scale
+    valid = recv[0] >= 0
+    alpha = jnp.where(valid, jnp.exp(lg - mx_g)
+                      / jnp.maximum(den_g, 1e-38), 0.0)
+    dv_ref[:] += jax.lax.dot(jnp.where(hit, alpha[None, :], 0.0), dy_g,
+                             preferred_element_type=jnp.float32)
+    dlg = alpha * (jnp.sum(v_slot * dy_g, axis=1) - sn_g) * dsig
+    dk_ref[:] += jax.lax.dot(jnp.where(hit, dlg[None, :], 0.0), q_g,
+                             preferred_element_type=jnp.float32)
+
+
+def _round128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
+def _dot_bwd(static_args, res, dy):
+    (q, k, values_n, auxes, ids, self_logits, self_values, out, mx,
+     den, kv_grp_flat) = res
+    aux, aux_rev = auxes
+    receivers, senders, edge_mask = ids
+    n_pad, n_src_pad, scale, slope = static_args
+    from .spmm import BD
+    _, h_dim, o = q.shape
+    d = values_n.shape[2]
+    bo = min(max(o, 128), BD)
+    bd = min(max(d, 128), BD)
+    be = aux.senders_grp.shape[1]
+    interpret = _use_interpret()
+    scale = float(scale)
+
+    s_n = jnp.sum(out * dy, -1).astype(jnp.float32)       # [N_dst, H]
+    dy32 = dy.astype(jnp.float32)
+    q32 = q.astype(jnp.float32)
+    scal = jnp.stack([mx.astype(jnp.float32), den.astype(jnp.float32),
+                      s_n], axis=-1)                      # [N_dst, H, 3]
+    scal = jnp.pad(scal, ((0, 0), (0, 0), (0, 5)))        # [N_dst, H, 8]
+
+    n_nblk_dst = -(-n_pad // BN)
+    rows_dst = n_nblk_dst * BN
+
+    def _rowpad(x):
+        if x.shape[0] < rows_dst:
+            return jnp.pad(x, ((0, rows_dst - x.shape[0]),)
+                           + ((0, 0),) * (x.ndim - 1))
+        return x
+
+    q_flat = _rowpad(_lane_pad(q32, bo).reshape(-1, h_dim * bo))
+    dy_flat = _rowpad(_lane_pad(dy32, bd).reshape(-1, h_dim * bd))
+    scal_h = _rowpad(scal).transpose(1, 0, 2)             # [H, rows, 8]
+
+    # ---- dq: forward grouping, zero gathers (kv_grp residual) ----
+    n_eblk = aux.n_eblk
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(h_dim, n_eblk),
+        in_specs=[
+            pl.BlockSpec((1, 1, be), lambda j, kk, br: (kk, 0, 0)),
+            pl.BlockSpec((BN, bo), lambda j, kk, br: (br[kk], j)),
+            pl.BlockSpec((1, BN, 8), lambda j, kk, br: (j, br[kk], 0)),
+            pl.BlockSpec((BN, bd), lambda j, kk, br: (br[kk], j)),
+            pl.BlockSpec((be, bo + bd), lambda j, kk, br: (kk, j)),
+        ],
+        out_specs=pl.BlockSpec((BN, bo), lambda j, kk, br: (br[kk], j)),
+    )
+    dq = pl.pallas_call(
+        functools.partial(_dot_bwd_dq_kernel, scale=scale, bo=bo,
+                          slope=slope),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rows_dst, h_dim * bo), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * h_dim * n_eblk * be * BN * (bo + bd),
+            bytes_accessed=h_dim * n_eblk * be * (bo + bd) * 4,
+            transcendentals=h_dim * n_eblk * be,
+        ),
+    )(aux.block_rows, aux.recv_local[:, None, :], q_flat, scal_h, dy_flat,
+      kv_grp_flat)
+    dq = dq[:n_pad].reshape(-1, h_dim, bo)[:, :, :o]
+
+    # ---- dk, dv: reverse grouping, one fused [q | dy | scal] gather ----
+    w_lane = _round128(bo + bd + 8)
+    r_parts = [_lane_pad(q32, bo), _lane_pad(dy32, bd), scal]
+    pad_tail = w_lane - (bo + bd + 8)
+    if pad_tail:
+        r_parts.append(jnp.zeros((q.shape[0], h_dim, pad_tail),
+                                 jnp.float32))
+    r_node = jnp.concatenate(r_parts, axis=-1)            # [N_dst, H, W]
+    r_flat = r_node.reshape(-1, h_dim * w_lane)
+    rg = gather(r_flat, aux_rev.senders_grp).reshape(-1, h_dim * w_lane)
+
+    n_nblk_src = -(-n_src_pad // BN)
+    rows_src = n_nblk_src * BN
+    kv_node = jnp.concatenate([_lane_pad(k, bo), _lane_pad(values_n, bd)],
+                              axis=-1).reshape(-1, h_dim * (bo + bd))
+    if kv_node.shape[0] < rows_src:
+        kv_node = jnp.pad(kv_node,
+                          ((0, rows_src - kv_node.shape[0]), (0, 0)))
+    n_eblk_r = aux_rev.n_eblk
+    grid_spec_r = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(h_dim, n_eblk_r),
+        in_specs=[
+            pl.BlockSpec((1, 1, be), lambda j, kk, br: (kk, 0, 0)),
+            pl.BlockSpec((BN, bo + bd), lambda j, kk, br: (br[kk], j)),
+            pl.BlockSpec((be, w_lane), lambda j, kk, br: (kk, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((BN, bo), lambda j, kk, br: (br[kk], j)),
+            pl.BlockSpec((BN, bd), lambda j, kk, br: (br[kk], j)),
+        ],
+    )
+    dk, dv_n = pl.pallas_call(
+        functools.partial(_dot_bwd_dkv_kernel, scale=scale, bo=bo, bd=bd,
+                          slope=slope),
+        grid_spec=grid_spec_r,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_src, h_dim * bo), jnp.float32),
+            jax.ShapeDtypeStruct((rows_src, h_dim * bd), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * h_dim * n_eblk_r * be * BN * (bo + bd),
+            bytes_accessed=h_dim * n_eblk_r * be * (w_lane + bo + bd) * 4,
+            transcendentals=h_dim * n_eblk_r * be,
+        ),
+    )(aux_rev.block_rows, aux_rev.recv_local[:, None, :], kv_node, rg)
+    dk = dk[:n_src_pad].reshape(-1, h_dim, bo)[:, :, :k.shape[2]]
+    dv_n = dv_n[:n_src_pad].reshape(-1, h_dim, bd)[:, :, :d]
+
     if self_logits is not None:
         alpha_self = jnp.exp(self_logits - mx) / den      # [N, H]
         dsl = (alpha_self * jnp.sum(self_values * dy, -1)

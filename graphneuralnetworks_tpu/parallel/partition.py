@@ -66,6 +66,28 @@ class PartitionedGraph:
     n_local: int = dataclasses.field(default=0, metadata=dict(static=True))
     e_local: int = dataclasses.field(default=0, metadata=dict(static=True))
     h_max: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # int32[P, 4] per shard = (cut_edges_in, edges_owned, halo_rows_sent,
+    # h_min): partition quality — drives the analytic ICI communication
+    # model (benchmarks/scaling.py). A per-shard data leaf (not static) so
+    # it shards under shard_map and replicas stack via stack_partitions.
+    cut_stats: jax.Array | None = None
+
+    @property
+    def cut_fraction(self) -> float:
+        """Fraction of edges whose sender lives on another shard
+        (host-side reporting; do not call under jit)."""
+        if self.cut_stats is None:
+            return 0.0
+        cs = np.asarray(self.cut_stats)
+        return float(cs[..., 0].sum() / max(cs[..., 1].sum(), 1))
+
+    def halo_bytes_per_step(self, feat_dim: int, itemsize: int = 4) -> int:
+        """Total unique sender rows shipped over the interconnect per
+        sender-side operand exchange, in bytes (all shards summed)."""
+        if self.cut_stats is None:
+            return 0
+        return int(np.sum(np.asarray(self.cut_stats)[..., 2])
+                   * feat_dim * itemsize)
 
     def scatter_nodes(self, x) -> jax.Array:
         """[N, ...] global node array -> [P, n_local, ...] shard-stacked."""
@@ -222,6 +244,18 @@ def partition_graph(g: GraphTuple, num_parts: int, *,
         stack = lambda xs: jax.tree.map(lambda *a: jnp.stack(a), *xs)
         aux = (stack(fwds), stack(revs))
 
+    # partition quality (BASELINE.md scaling north star): cut fraction sets
+    # the communication volume — each cut edge's sender row ships once per
+    # (src shard, dst shard) pair it appears in (the halo all_to_all sends
+    # UNIQUE rows, so halo_rows <= cut_edges).
+    cut_stats = jnp.asarray([
+        [int(np.sum(parts[s[edges_of[p]]] != p)),      # cut edges into p
+         int(len(edges_of[p])),                        # edges owned by p
+         int(sum(len(halo_nodes[p][q])                 # rows p ships out
+                 for q in range(num_parts) if q != p)),
+         int(h_min)]
+        for p in range(num_parts)], jnp.int32)         # [P, 4]
+
     rev_pg = None
     if with_reverse:
         # partition the REVERSED graph with the SAME node ownership (so
@@ -248,4 +282,5 @@ def partition_graph(g: GraphTuple, num_parts: int, *,
         halo_send=jnp.asarray(halo_send),
         edge_weight=None if ew is None else jnp.asarray(ew),
         num_parts=num_parts, n_local=n_local, e_local=e_local, h_max=h_max,
+        cut_stats=cut_stats,
     )
