@@ -328,6 +328,108 @@ def _scatter_grouped(values_grp: jax.Array, aux: SpmmAux, n_pad: int,
     return out[:n_pad, :d]
 
 
+def _scatter_sddmm_kernel(block_rows_ref, recv_ref, w_ref, m_ref, x_ref,
+                          out_ref, dots_ref):
+    """Fused dx + dw sweep for the weighted-SpMM backward (reverse grouping).
+
+    Per edge block: accumulates the weighted scatter-matmul into the output
+    row block (``dx[s] += w_e dy[r_e]`` — identical to ``_scatter_kernel``)
+    AND computes the per-slot SDDMM dots ``dw_slot = <dy[r_e], x[s_e]>``,
+    where the x rows ride the output block index (x_ref) and are distributed
+    to edge slots by one more one-hot MXU matmul. One kernel sweep replaces
+    the round-3 separate grouped-SDDMM pass (7.9 ms at 2M/128) and the
+    [slots, D] forward-values VJP residual (~1 GB) it consumed.
+    """
+    j = pl.program_id(0)
+    k = pl.program_id(1)
+    b = block_rows_ref[k]
+    prev = block_rows_ref[jnp.maximum(k - 1, 0)]
+    is_first = jnp.logical_or(k == 0, b != prev)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(j == 0)
+    def _():
+        # dots accumulate over feature blocks (j); each k step owns its own
+        # dots block, so only the first feature sweep zero-initializes
+        dots_ref[:] = jnp.zeros_like(dots_ref)
+
+    recv = recv_ref[0]                                    # [1, BE] int32
+    rows = jax.lax.broadcasted_iota(jnp.int32,
+                                    (out_ref.shape[0], recv.shape[1]), 0)
+    hit = rows == recv                                    # [BN, BE]
+    one_hot = hit.astype(m_ref.dtype) * w_ref[0]          # [BN,BE]*[1,BE]
+    out_ref[:] += jax.lax.dot(
+        one_hot, m_ref[:], preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
+    # x rows -> slots: dead slots (recv == -1) hit nothing and get 0
+    cols = jax.lax.broadcasted_iota(jnp.int32,
+                                    (recv.shape[1], out_ref.shape[0]), 1)
+    oh_t = (cols == recv[0][:, None]).astype(jnp.float32)  # [BE, BN]
+    x_slot = jax.lax.dot(oh_t, x_ref[:].astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+    dots_ref[0, 0] += jnp.sum(x_slot * m_ref[:].astype(jnp.float32),
+                              axis=1)
+
+
+def _scatter_grouped_sddmm(values_grp, x, aux: SpmmAux, n_pad: int,
+                           *, w_grp, interpret: bool = False):
+    """Weighted scatter of grouped rows + per-slot endpoint dots, fused.
+
+    values_grp: [n_eblk, BE, D] grouped dy rows; ``x``: [N_pad(+), D] whose
+    rows ride the output block. Returns (dx [n_pad, D],
+    dots [n_eblk, BE] f32) with ``dots_slot = <values_slot, x[out_row]>``
+    UNWEIGHTED (the dw SDDMM) while dx folds ``w_grp`` as usual.
+    """
+    n_eblk, be, d = values_grp.shape
+    n_nblk = -(-n_pad // BN)
+    bd = min(max(d, 128), BD)
+    d_padded = -(-d // bd) * bd
+    if d_padded != d:
+        values_grp = jnp.pad(values_grp,
+                             ((0, 0), (0, 0), (0, d_padded - d)))
+        x = jnp.pad(x, ((0, 0), (0, d_padded - d)))
+    if x.shape[0] < n_nblk * BN:
+        x = jnp.pad(x, ((0, n_nblk * BN - x.shape[0]), (0, 0)))
+    n_dblk = d_padded // bd
+    vflat = values_grp.reshape(n_eblk * be, d_padded)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_dblk, n_eblk),
+        in_specs=[
+            pl.BlockSpec((1, 1, be), lambda j, k, br: (k, 0, 0)),
+            pl.BlockSpec((1, 1, be), lambda j, k, br: (k, 0, 0)),
+            pl.BlockSpec((be, bd), lambda j, k, br: (k, j)),
+            pl.BlockSpec((BN, bd), lambda j, k, br: (br[k], j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((BN, bd), lambda j, k, br: (br[k], j)),
+            pl.BlockSpec((1, 1, be), lambda j, k, br: (k, 0, 0)),
+        ],
+    )
+    out, dots = pl.pallas_call(
+        _scatter_sddmm_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_nblk * BN, d_padded), values_grp.dtype),
+            jax.ShapeDtypeStruct((n_eblk, 1, be), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_eblk * be * BN * d_padded,
+            bytes_accessed=(n_eblk * be * d_padded
+                            + 2 * n_nblk * BN * d_padded)
+            * values_grp.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(aux.block_rows, aux.recv_local[:, None, :],
+      w_grp[:, None, :].astype(values_grp.dtype), vflat, x)
+    return out[:n_pad, :d], dots[:, 0, :]
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -351,51 +453,41 @@ def spmm_gather_scatter(x, w, auxes, n_pads):
     return _spmm_impl(x, w, auxes[0], n_pads[0])
 
 
-def _spmm_impl(x, w, aux: SpmmAux, n_dst_pad: int, *, return_vals=False):
+def _spmm_impl(x, w, aux: SpmmAux, n_dst_pad: int):
     from ..segment import gather
     vals = gather(x, aux.senders_grp)              # [n_eblk, BE, D]
     w_grp = None if w is None else gather(w, aux.edge_perm)
-    y = _scatter_grouped(vals, aux, n_dst_pad, w_grp=w_grp,
-                         interpret=_use_interpret())
-    return (y, vals) if return_vals else y
+    return _scatter_grouped(vals, aux, n_dst_pad, w_grp=w_grp,
+                            interpret=_use_interpret())
 
 
 def _spmm_fwd(x, w, auxes, n_pads):
-    y, vals = _spmm_impl(x, w, auxes[0], n_pads[0], return_vals=True)
-    # The grouped sender rows are the expensive part of the forward (a
-    # descriptor-rate-bound gather, GATHER_STUDY.md); keep them as a VJP
-    # residual so dw needs ZERO new gathers. Only when w is differentiable —
-    # the unweighted path keeps the old (x, w, auxes)-only residuals.
-    return y, (x, w, auxes, vals if w is not None else None)
+    return spmm_gather_scatter(x, w, auxes, n_pads), (x, w, auxes)
 
 
 def _spmm_bwd(n_pads, res, dy):
-    x, w, auxes, vals = res
+    from ..segment import gather
+    x, w, auxes = res
     aux_fwd, aux_rev = auxes
-    dx = _spmm_impl(dy, w, aux_rev, n_pads[1])
     if w is None:
-        dw = None
-    else:
-        # dw_e = <dy[r_e], x[s_e]> — a grouped SDDMM on the forward's saved
-        # sender rows: the receiver side (dy) rides the output row block
-        # inside the kernel, so the whole dw costs one kernel sweep plus the
-        # slot->edge ungroup gather. (Round-3 formulation re-gathered both
-        # endpoints edge-order: 42 ms at 2M/128 vs ~8 ms now; the history of
-        # the 118 ms scatter-add formulation is in git.)
-        from ..segment import gather as _gather
-        from .sddmm import _pad_cols, _pad_rows, _sddmm_grouped
-        bd = min(max(dy.shape[1], 128), BD)
-        dy_p = _pad_cols(dy.astype(jnp.float32), bd)
-        n_nblk = -(-dy_p.shape[0] // BN)
-        dy_p = _pad_rows(dy_p, n_nblk * BN)
-        vflat = _pad_cols(vals.reshape(-1, vals.shape[-1])
-                          .astype(jnp.float32), bd)
-        dots_grp = _sddmm_grouped(dy_p, vflat, aux_fwd)     # [n_eblk, BE]
-        flat = jnp.concatenate([dots_grp.reshape(-1),
-                                jnp.zeros((1,), dots_grp.dtype)])
-        dots = _gather(flat, aux_fwd.edge_slot)             # [E_pad]
-        dw = jnp.concatenate([dots.astype(w.dtype),
-                              jnp.zeros((1,), w.dtype)])
+        return _spmm_impl(dy, w, aux_rev, n_pads[1]), None, None
+    # dx and dw share ONE pass over the reverse grouping: the dy rows are
+    # gathered once (the descriptor-rate-bound cost, GATHER_STUDY.md), the
+    # kernel scatter-matmuls them into dx with the w fold AND computes the
+    # SDDMM dots dw_e = <dy[r_e], x[s_e]> in-slot — the x rows ride the
+    # output block index, so dw adds one in-kernel matmul, not a second
+    # sweep. (History: edge-order endpoint regathers 42 ms -> separate
+    # grouped SDDMM ~12 ms -> this fused pass, at 2M edges / D=128.)
+    dy_grp = gather(dy, aux_rev.senders_grp)
+    w_grp = gather(w, aux_rev.edge_perm)
+    dx, dots_grp = _scatter_grouped_sddmm(dy_grp, x, aux_rev, n_pads[1],
+                                          w_grp=w_grp,
+                                          interpret=_use_interpret())
+    flat = jnp.concatenate([dots_grp.reshape(-1),
+                            jnp.zeros((1,), dots_grp.dtype)])
+    dots = gather(flat, aux_rev.edge_slot)                # [E_pad]
+    dw = jnp.concatenate([dots.astype(w.dtype),
+                          jnp.zeros((1,), w.dtype)])
     return dx, dw, None
 
 
