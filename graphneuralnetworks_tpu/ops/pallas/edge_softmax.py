@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..segment import gather
+from ..segment import gather, gather_1d
 from .spmm import BN, SpmmAux, _scatter_grouped, _use_interpret
 
 __all__ = ["segment_max_grouped", "edge_softmax_aggregate",
@@ -146,8 +146,8 @@ def _fused_forward(logits, values, aux_receivers, static_args, self_logits,
     perm_clipped = jnp.minimum(aux.edge_perm, e_pad - 1)
     ys, ms, ss = [], [], []
     for h in range(h_dim):
-        lg_grp = gather(lg_ext[:, h], aux.edge_perm)
-        msk_grp = (gather(msk_ext[:, h], aux.edge_perm)
+        lg_grp = gather_1d(lg_ext[:, h], aux.edge_perm)
+        msk_grp = (gather_1d(msk_ext[:, h], aux.edge_perm)
                    if mask_e is not None else jnp.ones_like(lg_grp))
         v_grp = gather(values[:, h, :], perm_clipped)
         y, m, s = _flash_grouped(v_grp, lg_grp, msk_grp, aux, n_pad)
@@ -886,7 +886,7 @@ def _gatv2_bwd(static_args, res, dy):
     dk = jnp.stack(
         [_scatter_grouped(_g(dy[:, h, :], aux_rev.senders_grp), aux_rev,
                           n_src_pad,
-                          w_grp=_g(alpha_ext[:, h], aux_rev.edge_perm),
+                          w_grp=gather_1d(alpha_ext[:, h], aux_rev.edge_perm),
                           interpret=_use_interpret())
          for h in range(h_dim)], axis=1)                  # [N_src, H, O]
 
@@ -903,7 +903,7 @@ def _gatv2_bwd(static_args, res, dy):
     # logit halves: dq[r] += draw_e; dk[s] += draw_e (edge-level scatters
     # through the groupings)
     dq = jnp.stack(
-        [_scatter_grouped(_g(draw_ext[:, h, :], aux.edge_perm), aux, n_pad,
+        [_scatter_grouped(gather(draw_ext[:, h, :], aux.edge_perm), aux, n_pad,
                           interpret=_use_interpret())
          for h in range(h_dim)], axis=1)
     dk = dk + jnp.stack(
@@ -982,8 +982,8 @@ def _fused_nodes_forward(logits, values_n, auxes, ids, static_args,
             [mask_e, jnp.zeros((1, h_dim), mask_e.dtype)])
     ys, ms, ss = [], [], []
     for h in range(h_dim):
-        lg_grp = gather(lg_ext[:, h], aux.edge_perm)      # [blk, BE]
-        msk_grp = (gather(msk_ext[:, h], aux.edge_perm)
+        lg_grp = gather_1d(lg_ext[:, h], aux.edge_perm)      # [blk, BE]
+        msk_grp = (gather_1d(msk_ext[:, h], aux.edge_perm)
                    if mask_e is not None else jnp.ones_like(lg_grp))
         v_grp = gather(values_n[:, h, :], aux.senders_grp)  # [blk, BE, D]
         y, m, s = _flash_grouped(v_grp, lg_grp, msk_grp, aux, n_pad)
@@ -1057,7 +1057,7 @@ def _fused_nodes_bwd(static_args, res, dy):
     dv_n = jnp.stack(
         [_scatter_grouped(gather(dy[:, h, :], aux_rev.senders_grp), aux_rev,
                           n_src_pad,
-                          w_grp=gather(m_alpha_ext[:, h], aux_rev.edge_perm),
+                          w_grp=gather_1d(m_alpha_ext[:, h], aux_rev.edge_perm),
                           interpret=_use_interpret())
          for h in range(h_dim)], axis=1)                  # [N_src, H, D]
 

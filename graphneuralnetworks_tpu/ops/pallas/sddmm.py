@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..segment import gather
+from ..segment import gather, gather_1d
 from .spmm import BD, BN, SpmmAux, _scatter_grouped, _use_interpret
 
 __all__ = ["sddmm"]
@@ -133,7 +133,7 @@ def _sddmm_impl(xi, xj, aux: SpmmAux, e_pad: int):
     # permutation (padded edges index the appended zero) — a scatter here
     # costs ~10x (TPU scatter pathology; measured on the 2M-edge config).
     flat = jnp.concatenate([dots_grp.reshape(-1), jnp.zeros((1,), xi.dtype)])
-    return gather(flat, aux.edge_slot)
+    return gather_1d(flat, aux.edge_slot)
 
 
 def _sddmm_fwd(xi, xj, auxes, static_args):
@@ -147,11 +147,11 @@ def _sddmm_bwd(static_args, res, dl):
     # d xi[r] = Σ_{e: r_e=r} dl_e xj[s_e]  — weighted SpMM, forward grouping
     dxi = _scatter_grouped(
         gather(xj, aux_fwd.senders_grp), aux_fwd, xi.shape[0],
-        w_grp=gather(dl_ext, aux_fwd.edge_perm), interpret=_use_interpret())
+        w_grp=gather_1d(dl_ext, aux_fwd.edge_perm), interpret=_use_interpret())
     # d xj[s] = Σ_{e: s_e=s} dl_e xi[r_e]  — weighted SpMM, reverse grouping
     dxj = _scatter_grouped(
         gather(xi, aux_rev.senders_grp), aux_rev, xj.shape[0],
-        w_grp=gather(dl_ext, aux_rev.edge_perm), interpret=_use_interpret())
+        w_grp=gather_1d(dl_ext, aux_rev.edge_perm), interpret=_use_interpret())
     return dxi, dxj, None
 
 

@@ -454,9 +454,9 @@ def spmm_gather_scatter(x, w, auxes, n_pads):
 
 
 def _spmm_impl(x, w, aux: SpmmAux, n_dst_pad: int):
-    from ..segment import gather
+    from ..segment import gather, gather_1d
     vals = gather(x, aux.senders_grp)              # [n_eblk, BE, D]
-    w_grp = None if w is None else gather(w, aux.edge_perm)
+    w_grp = None if w is None else gather_1d(w, aux.edge_perm)
     return _scatter_grouped(vals, aux, n_dst_pad, w_grp=w_grp,
                             interpret=_use_interpret())
 
@@ -466,7 +466,7 @@ def _spmm_fwd(x, w, auxes, n_pads):
 
 
 def _spmm_bwd(n_pads, res, dy):
-    from ..segment import gather
+    from ..segment import gather, gather_1d
     x, w, auxes = res
     aux_fwd, aux_rev = auxes
     if w is None:
@@ -479,13 +479,13 @@ def _spmm_bwd(n_pads, res, dy):
     # sweep. (History: edge-order endpoint regathers 42 ms -> separate
     # grouped SDDMM ~12 ms -> this fused pass, at 2M edges / D=128.)
     dy_grp = gather(dy, aux_rev.senders_grp)
-    w_grp = gather(w, aux_rev.edge_perm)
+    w_grp = gather_1d(w, aux_rev.edge_perm)
     dx, dots_grp = _scatter_grouped_sddmm(dy_grp, x, aux_rev, n_pads[1],
                                           w_grp=w_grp,
                                           interpret=_use_interpret())
     flat = jnp.concatenate([dots_grp.reshape(-1),
                             jnp.zeros((1,), dots_grp.dtype)])
-    dots = gather(flat, aux_rev.edge_slot)                # [E_pad]
+    dots = gather_1d(flat, aux_rev.edge_slot)             # [E_pad]
     dw = jnp.concatenate([dots.astype(w.dtype),
                           jnp.zeros((1,), w.dtype)])
     return dx, dw, None

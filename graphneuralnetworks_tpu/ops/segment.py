@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "gather",
+    "gather_1d",
     "segment_sum",
     "segment_mean",
     "segment_max",
@@ -48,6 +49,35 @@ def gather(x: jax.Array, idx: jax.Array) -> jax.Array:
         w = jnp.broadcast_to(x, (x.shape[0], 2))
         return w.at[idx].get(mode="promise_in_bounds")[..., :1]
     return x.at[idx].get(mode="promise_in_bounds")
+
+
+# The TPU gather engine's per-row rate cliffs ~2.5x once the TABLE exceeds
+# ~131k rows (2.7 -> 6.6 ns/row measured at 2M indices on v5e; independent of
+# row WIDTH up to 128 lanes — see benchmarks/GATHER_STUDY.md, round-4
+# addendum). Edge-space scalar permutations (regroup w by edge_perm, ungroup
+# dots by edge_slot) read from E-row tables and pay the slow rate; folding
+# the table to [T/K, K] and selecting the lane with an in-register one-hot
+# restores the fast rate (~13 -> ~7 ms at 2M edges).
+_FOLD_K = 32
+_FOLD_MIN_ROWS = 200_000
+
+
+def gather_1d(flat: jax.Array, idx: jax.Array) -> jax.Array:
+    """Scalar gather ``flat[idx]`` tuned for BIG (edge-space) tables.
+
+    Identical semantics to :func:`gather` on 1-D ``flat``; use for
+    regroup/ungroup permutations whose table is edge-sized. Indices are
+    assumed in range (promise_in_bounds).
+    """
+    t = flat.shape[0]
+    if t < _FOLD_MIN_ROWS:
+        return gather(flat, idx)
+    k = _FOLD_K
+    tp = -(-t // k) * k
+    tbl = jnp.pad(flat, (0, tp - t)).reshape(-1, k)
+    rows = tbl.at[idx // k].get(mode="promise_in_bounds")
+    oh = (idx % k)[..., None] == jnp.arange(k, dtype=jnp.int32)
+    return jnp.sum(jnp.where(oh, rows, 0), axis=-1).astype(flat.dtype)
 
 
 def _expand_mask(mask: jax.Array | None, data: jax.Array) -> jax.Array | None:
