@@ -153,17 +153,17 @@ def gat_attention(g: GraphTuple, pi: jax.Array, pj: jax.Array,
     if (g.spmm_aux is not None and n == g.n_pad and dropout_masks is None
             and pi.ndim == 2 and values.ndim == 3
             and pi.shape[0] == n and values.shape[0] == pj.shape[0]):
-        from .pallas.edge_softmax import dot_attention_nodes
+        from .pallas.edge_softmax import gat_attention_nodes
         from .pallas.spmm import BD
         if values.shape[-1] <= BD:
-            # affine logits as a rank-2 dot:
-            # leaky_relu(pi[r] + pj[s]) == leaky_relu(<[pi, 1], [1, pj]>)
-            q2 = jnp.stack([pi, jnp.ones_like(pi)], axis=-1)  # [N_dst, H, 2]
-            k2 = jnp.stack([jnp.ones_like(pj), pj], axis=-1)  # [N_src, H, 2]
-            return dot_attention_nodes(
-                q2, k2, values, g.spmm_aux,
+            # affine logits in-kernel; the sender side pays two 1-chunk
+            # node-table gathers (pj scalars + value rows) — the cheapest
+            # layout on the descriptor-rate-bound gather engine (the old
+            # rank-2 [k_pad128 | v] fused gather cost 2 chunks/row)
+            return gat_attention_nodes(
+                pi, pj, values, g.spmm_aux,
                 (g.receivers, g.senders, g.edge_mask),
-                (n, values.shape[0], 1.0, float(slope)),
+                (n, values.shape[0], float(slope)),
                 self_logits, self_values)
     logits = jax.nn.leaky_relu(
         gather(pi, g.receivers) + gather(pj, g.senders), slope)

@@ -37,7 +37,7 @@ from .spmm import BN, SpmmAux, _scatter_grouped, _use_interpret
 
 __all__ = ["segment_max_grouped", "edge_softmax_aggregate",
            "edge_softmax_aggregate_nodes", "dot_attention_nodes",
-           "gatv2_attention_nodes"]
+           "gat_attention_nodes", "gatv2_attention_nodes"]
 
 
 def _segmax_kernel(block_rows_ref, recv_ref, lg_ref, out_ref):
@@ -739,6 +739,400 @@ def _dot_bwd(static_args, res, dy):
 
 
 dot_attention_nodes.defvjp(_dot_fwd, _dot_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused GAT attention: affine logits leaky_relu(pi[r] + pj[s]) in-kernel
+# ---------------------------------------------------------------------------
+#
+# The GAT family's logits are AFFINE in per-node scalars (pi = x a1,
+# pj = x a2 — GNNlib/src/layers/conv.jl:112-150), so the kv-style rank-2
+# dot formulation wastes a full 128-lane gather chunk on a 2-lane key:
+# gathering [k_pad128 | v] rows costs 2 descriptor chunks/row where the
+# real payload is H scalars + the value row. Here the sender side rides
+# TWO separate node-table gathers (pj: H lanes, v: H*bd lanes) — two
+# 1-chunk gathers beat one 2-chunk gather on the descriptor engine
+# (GATHER_STUDY.md round-4 addendum) — and the logits, softmax, and
+# aggregation all happen in ONE kernel sweep. Backward: a zero-gather
+# pass over the forward grouping (dpi; sender operands are the forward's
+# grouped residuals) + a reverse-grouping pass whose only new gathers are
+# the dy rows and one packed [pi|mx|den|s_n] node-scalar row (dpj, dv).
+
+
+def _flash_gat_kernel(block_rows_ref, recv_ref, pi_ref, pj_ref, v_ref,
+                      y_ref, m_ref, s_ref, *, slope: float, bd: int,
+                      h_dim: int):
+    """Flash softmax-aggregate with affine logits computed in-kernel.
+
+    pi_ref: [BN, H] receiver projections (ride the output block);
+    pj_ref: [BE, H] grouped sender projections; v_ref: [BE, H*bd] grouped
+    sender values. All heads are processed in one grid step (static loop).
+    """
+    k = pl.program_id(0)
+    b = block_rows_ref[k]
+    prev = block_rows_ref[jnp.maximum(k - 1, 0)]
+    _flash_reset(y_ref, m_ref, s_ref,
+                 jnp.logical_or(k == 0, b != prev))
+    neg = jnp.asarray(-jnp.inf, jnp.float32)
+    recv = recv_ref[0]                                    # [1, BE]
+    bn = y_ref.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bn, recv.shape[1]), 0)
+    hit = rows == recv                                    # [BN, BE]
+    # the whole logit/softmax state lives [BN, BE]-shaped: the affine logit
+    # broadcasts to every (row, slot) pair and `hit` masks the real edges —
+    # no per-slot distribute matmuls or cross-sublane reduces anywhere (a
+    # [BN,1]-operand MXU distribute measured ~4x slower than this)
+    y_all = y_ref[:]
+    m_all = m_ref[:]
+    s_all = s_ref[:]
+    pi_blk = pi_ref[:]                                    # [BN, H]
+    pj_blk = pj_ref[:]                                    # [BE, H]
+    ys, ms, ss = [], [], []
+    for h in range(h_dim):
+        raw = pi_blk[:, h][:, None] + pj_blk[:, h][None, :]  # [BN, BE]
+        act = jnp.where(raw >= 0, raw, slope * raw)
+        lg_hit = jnp.where(hit, act, neg)
+        m_old = m_all[:, h]
+        m_new = jnp.maximum(m_old, jnp.max(lg_hit, axis=1))
+        scale = jnp.where(m_new == neg, 1.0, jnp.exp(m_old - m_new))
+        m_fin = jnp.where(m_new == neg, 0.0, m_new)       # exp(-inf-(-inf))
+        p = jnp.where(hit, jnp.exp(lg_hit - m_fin[:, None]), 0.0)
+        s_h = s_all[:, h] * scale + jnp.sum(p, axis=1)
+        y_h = (y_all[:, h * bd:(h + 1) * bd]
+               * scale[:, None].astype(y_all.dtype)
+               + jax.lax.dot(p.astype(v_ref.dtype),
+                             v_ref[:, h * bd:(h + 1) * bd],
+                             preferred_element_type=jnp.float32)
+               .astype(y_all.dtype))
+        ys.append(y_h)
+        ms.append(m_new[:, None])
+        ss.append(s_h[:, None])
+    y_ref[:] = ys[0] if h_dim == 1 else jnp.concatenate(ys, axis=1)
+    m_ref[:] = ms[0] if h_dim == 1 else jnp.concatenate(ms, axis=1)
+    s_ref[:] = ss[0] if h_dim == 1 else jnp.concatenate(ss, axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def gat_attention_nodes(pi, pj, values_n, auxes, ids, static_args,
+                        self_logits=None, self_values=None):
+    """GAT-family attention with affine logits fully in-kernel.
+
+    ``lg_e = leaky_relu(pi[r_e] + pj[s_e], slope)``; values are sender-side
+    node rows. The sender side pays two 1-chunk node-table gathers (pj and
+    v), the cheapest possible layout on the descriptor-rate-bound gather
+    engine; no edge-space array is ever materialized.
+
+    Args:
+      pi: [N_dst, H] receiver logit projections.
+      pj: [N_src, H] sender logit projections.
+      values_n: [N_src, H, D] sender node values.
+      auxes: (aux_fwd, aux_rev); ids: (receivers, senders, edge_mask).
+      static_args: (n_dst_pad, n_src_pad, slope).
+      self_logits/self_values: optional virtual self-loop terms
+        (pre-activated logits).
+
+    Returns [N_dst_pad, H, D].
+    """
+    out, _, _ = _gat_forward(pi, pj, values_n, auxes, ids, static_args,
+                             self_logits, self_values)
+    return out
+
+
+def _gat_forward(pi, pj, values_n, auxes, ids, static_args, self_logits,
+                 self_values, return_grp: bool = False):
+    from .spmm import BD
+    aux, _ = auxes
+    n_pad, _, slope = static_args
+    _, h_dim = pi.shape
+    d = values_n.shape[2]
+    bd = min(max(d, 128), BD)
+    if d > bd:
+        raise ValueError("fused GAT attention requires D <= BD")
+    n_eblk = aux.n_eblk
+    be = aux.senders_grp.shape[1]
+    n_nblk = -(-n_pad // BN)
+    v_flat = _lane_pad(values_n, bd).reshape(values_n.shape[0], h_dim * bd)
+    v_grp = gather(v_flat, aux.senders_grp).reshape(-1, h_dim * bd)
+    pj_grp = gather(pj.astype(jnp.float32),
+                    aux.senders_grp).reshape(-1, h_dim)
+    pi_pad = pi.astype(jnp.float32)
+    if pi_pad.shape[0] < n_nblk * BN:
+        pi_pad = jnp.pad(pi_pad,
+                         ((0, n_nblk * BN - pi_pad.shape[0]), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_eblk,),
+        in_specs=[
+            pl.BlockSpec((1, 1, be), lambda k, br: (k, 0, 0)),
+            pl.BlockSpec((BN, h_dim), lambda k, br: (br[k], 0)),
+            pl.BlockSpec((be, h_dim), lambda k, br: (k, 0)),
+            pl.BlockSpec((be, h_dim * bd), lambda k, br: (k, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((BN, h_dim * bd), lambda k, br: (br[k], 0)),
+            pl.BlockSpec((BN, h_dim), lambda k, br: (br[k], 0)),
+            pl.BlockSpec((BN, h_dim), lambda k, br: (br[k], 0)),
+        ],
+    )
+    y, m, s = pl.pallas_call(
+        functools.partial(_flash_gat_kernel, slope=float(slope), bd=bd,
+                          h_dim=h_dim),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_nblk * BN, h_dim * bd), values_n.dtype),
+            jax.ShapeDtypeStruct((n_nblk * BN, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((n_nblk * BN, h_dim), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_eblk * be * BN * h_dim * bd,
+            bytes_accessed=(n_eblk * be * h_dim * bd
+                            + 2 * n_nblk * BN * h_dim * bd)
+            * values_n.dtype.itemsize,
+            transcendentals=h_dim * n_eblk * be,
+        ),
+    )(aux.block_rows, aux.recv_local[:, None, :], pi_pad, pj_grp, v_grp)
+    num = y[:n_pad].reshape(-1, h_dim, bd)[:, :, :d]
+    out3 = _finalize_softmax(num, m[:n_pad], s[:n_pad], self_logits,
+                             self_values, None)
+    if return_grp:
+        return out3 + (v_grp, pj_grp)
+    return out3
+
+
+def _gat_fwd(pi, pj, values_n, auxes, ids, static_args, self_logits,
+             self_values):
+    out, mx, den, v_grp, pj_grp = _gat_forward(
+        pi, pj, values_n, auxes, ids, static_args, self_logits,
+        self_values, return_grp=True)
+    res = (pi, pj, values_n, auxes, ids, self_logits, self_values, out, mx,
+           den, v_grp, pj_grp)
+    return out, res
+
+
+def _gat_bwd_dpi_kernel(block_rows_ref, recv_ref, pi_ref, scal_ref, dy_ref,
+                        pj_ref, v_ref, dpi_ref, *, slope: float, bd: int,
+                        h_dim: int):
+    """dpi over the FORWARD grouping with ZERO gathers.
+
+    Receiver operands (pi, mx/den/s_n, dy) ride the output block and are
+    distributed to slots by one-hot MXU matmuls; sender operands (pj, v)
+    are the forward's grouped residuals. Recomputes alpha/dlg in-kernel;
+    ``dpi[r] += sum_e dlg_e``.
+    """
+    k = pl.program_id(0)
+    b = block_rows_ref[k]
+    prev = block_rows_ref[jnp.maximum(k - 1, 0)]
+
+    @pl.when(jnp.logical_or(k == 0, b != prev))
+    def _():
+        dpi_ref[:] = jnp.zeros_like(dpi_ref)
+
+    recv = recv_ref[0]
+    bn = dpi_ref.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bn, recv.shape[1]), 0)
+    hit = rows == recv                                    # [BN, BE]
+    # everything [BN, BE]-shaped: receiver operands (pi, mx, den, s_n, dy)
+    # ride the rows directly — no slot-distribute matmuls (measured ~4x
+    # slower with narrow operands); the per-pair <v_e, dy_r> dots are ONE
+    # MXU dot_general contracting the feature lanes
+    pi_blk = pi_ref[:]
+    pj_blk = pj_ref[:]
+    scal_blk = scal_ref[:]
+    dpis = []
+    for h in range(h_dim):
+        raw = pi_blk[:, h][:, None] + pj_blk[:, h][None, :]  # [BN, BE]
+        act = jnp.where(raw >= 0, raw, slope * raw)
+        mx_r = scal_blk[:, 3 * h][:, None]
+        den_r = jnp.maximum(scal_blk[:, 3 * h + 1], 1e-38)[:, None]
+        sn_r = scal_blk[:, 3 * h + 2][:, None]
+        alpha = jnp.where(hit, jnp.exp(act - mx_r) / den_r, 0.0)
+        vdots = jax.lax.dot_general(
+            dy_ref[:, h * bd:(h + 1) * bd].astype(jnp.float32),
+            v_ref[:, h * bd:(h + 1) * bd].astype(jnp.float32),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [BN, BE]
+        dsig = jnp.where(raw >= 0, 1.0, slope)
+        dlg = alpha * (vdots - sn_r) * dsig
+        dpis.append(jnp.sum(dlg, axis=1)[:, None])
+    dpi_ref[:] += (dpis[0] if h_dim == 1
+                   else jnp.concatenate(dpis, axis=1))
+
+
+def _gat_bwd_rev_kernel(block_rows_ref, recv_ref, pj_ref, vnode_ref,
+                        dy_ref, rscal_ref, dpj_ref, dv_ref, *, slope: float,
+                        bd: int, h_dim: int):
+    """dpj and dv over the REVERSE grouping.
+
+    Sender operands (pj, v) ride the output block; receiver operands
+    arrive as gathered rows: dy (one row gather) and one packed
+    ``[pi | mx | den | s_n]`` node-scalar row (rscal_ref, 4 lanes/head).
+    ``dv[s] += alpha_e dy[r_e]``; ``dpj[s] += sum_e dlg_e``.
+    """
+    k = pl.program_id(0)
+    b = block_rows_ref[k]
+    prev = block_rows_ref[jnp.maximum(k - 1, 0)]
+
+    @pl.when(jnp.logical_or(k == 0, b != prev))
+    def _():
+        dpj_ref[:] = jnp.zeros_like(dpj_ref)
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+
+    recv = recv_ref[0]
+    bn = dpj_ref.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bn, recv.shape[1]), 0)
+    hit = rows == recv                                    # [BN, BE]
+    # [BN, BE]-shaped like the dpi kernel: sender operands (pj, v) ride the
+    # rows, receiver operands arrive as gathered per-slot vectors
+    pj_blk = pj_ref[:]
+    dy_g = dy_ref[:].astype(jnp.float32)                  # [BE, H*bd]
+    rscal = rscal_ref[:]
+    dpjs, dvs = [], []
+    for h in range(h_dim):
+        pi_g = rscal[:, 4 * h][None, :]                   # [1, BE]
+        mx_g = rscal[:, 4 * h + 1][None, :]
+        den_g = jnp.maximum(rscal[:, 4 * h + 2], 1e-38)[None, :]
+        sn_g = rscal[:, 4 * h + 3][None, :]
+        raw = pj_blk[:, h][:, None] + pi_g                # [BN, BE]
+        act = jnp.where(raw >= 0, raw, slope * raw)
+        alpha = jnp.where(hit, jnp.exp(act - mx_g) / den_g, 0.0)
+        dv_h = jax.lax.dot(alpha.astype(jnp.float32),
+                           dy_g[:, h * bd:(h + 1) * bd],
+                           preferred_element_type=jnp.float32)
+        vdots = jax.lax.dot_general(
+            vnode_ref[:, h * bd:(h + 1) * bd].astype(jnp.float32),
+            dy_g[:, h * bd:(h + 1) * bd],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [BN, BE]
+        dsig = jnp.where(raw >= 0, 1.0, slope)
+        dlg = alpha * (vdots - sn_g) * dsig
+        dpjs.append(jnp.sum(dlg, axis=1)[:, None])
+        dvs.append(dv_h)
+    dpj_ref[:] += (dpjs[0] if h_dim == 1
+                   else jnp.concatenate(dpjs, axis=1))
+    dv_ref[:] += (dvs[0] if h_dim == 1
+                  else jnp.concatenate(dvs, axis=1))
+
+
+def _gat_bwd(static_args, res, dy):
+    (pi, pj, values_n, auxes, ids, self_logits, self_values, out, mx,
+     den, v_grp, pj_grp) = res
+    aux, aux_rev = auxes
+    n_pad, n_src_pad, slope = static_args
+    slope = float(slope)
+    from .spmm import BD
+    _, h_dim = pi.shape
+    d = values_n.shape[2]
+    bd = min(max(d, 128), BD)
+    be = aux.senders_grp.shape[1]
+    interpret = _use_interpret()
+
+    s_n = jnp.sum(out * dy, -1).astype(jnp.float32)       # [N_dst, H]
+    dy32 = dy.astype(jnp.float32)
+    mx32 = mx.astype(jnp.float32)
+    den32 = den.astype(jnp.float32)
+    n_nblk_dst = -(-n_pad // BN)
+    rows_dst = n_nblk_dst * BN
+
+    def _rowpad(x, rows):
+        if x.shape[0] < rows:
+            return jnp.pad(x, ((0, rows - x.shape[0]),)
+                           + ((0, 0),) * (x.ndim - 1))
+        return x
+
+    pi_pad = _rowpad(pi.astype(jnp.float32), rows_dst)
+    scal = jnp.stack([mx32, den32, s_n], axis=-1)         # [N_dst, H, 3]
+    scal_flat = _rowpad(scal.reshape(-1, h_dim * 3), rows_dst)
+    dy_flat = _rowpad(_lane_pad(dy32, bd).reshape(-1, h_dim * bd), rows_dst)
+
+    # ---- dpi: forward grouping, zero gathers ----
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(aux.n_eblk,),
+        in_specs=[
+            pl.BlockSpec((1, 1, be), lambda k, br: (k, 0, 0)),
+            pl.BlockSpec((BN, h_dim), lambda k, br: (br[k], 0)),
+            pl.BlockSpec((BN, 3 * h_dim), lambda k, br: (br[k], 0)),
+            pl.BlockSpec((BN, h_dim * bd), lambda k, br: (br[k], 0)),
+            pl.BlockSpec((be, h_dim), lambda k, br: (k, 0)),
+            pl.BlockSpec((be, h_dim * bd), lambda k, br: (k, 0)),
+        ],
+        out_specs=pl.BlockSpec((BN, h_dim), lambda k, br: (br[k], 0)),
+    )
+    dpi = pl.pallas_call(
+        functools.partial(_gat_bwd_dpi_kernel, slope=slope, bd=bd,
+                          h_dim=h_dim),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rows_dst, h_dim), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * aux.n_eblk * be * BN * h_dim * bd,
+            bytes_accessed=aux.n_eblk * be * h_dim * (bd + 1) * 4,
+            transcendentals=h_dim * aux.n_eblk * be,
+        ),
+    )(aux.block_rows, aux.recv_local[:, None, :], pi_pad, scal_flat,
+      dy_flat, pj_grp, v_grp)
+    dpi = dpi[:n_pad]
+
+    # ---- dpj, dv: reverse grouping, dy rows + one packed scalar row ----
+    rscal = jnp.concatenate([pi.astype(jnp.float32)[..., None], scal],
+                            axis=-1)                      # [N_dst, H, 4]
+    rscal_flat = rscal.reshape(-1, h_dim * 4)
+    dy_g = gather(dy_flat, aux_rev.senders_grp).reshape(-1, h_dim * bd)
+    rscal_g = gather(rscal_flat, aux_rev.senders_grp).reshape(-1, 4 * h_dim)
+    n_nblk_src = -(-n_src_pad // BN)
+    rows_src = n_nblk_src * BN
+    pj_pad = _rowpad(pj.astype(jnp.float32), rows_src)
+    v_flat = _rowpad(_lane_pad(values_n, bd).reshape(-1, h_dim * bd),
+                     rows_src)
+    grid_spec_r = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(aux_rev.n_eblk,),
+        in_specs=[
+            pl.BlockSpec((1, 1, be), lambda k, br: (k, 0, 0)),
+            pl.BlockSpec((BN, h_dim), lambda k, br: (br[k], 0)),
+            pl.BlockSpec((BN, h_dim * bd), lambda k, br: (br[k], 0)),
+            pl.BlockSpec((be, h_dim * bd), lambda k, br: (k, 0)),
+            pl.BlockSpec((be, 4 * h_dim), lambda k, br: (k, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((BN, h_dim), lambda k, br: (br[k], 0)),
+            pl.BlockSpec((BN, h_dim * bd), lambda k, br: (br[k], 0)),
+        ],
+    )
+    dpj, dv = pl.pallas_call(
+        functools.partial(_gat_bwd_rev_kernel, slope=slope, bd=bd,
+                          h_dim=h_dim),
+        grid_spec=grid_spec_r,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_src, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((rows_src, h_dim * bd), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * aux_rev.n_eblk * be * BN * h_dim * bd,
+            bytes_accessed=aux_rev.n_eblk * be * h_dim * 2 * bd * 4,
+            transcendentals=h_dim * aux_rev.n_eblk * be,
+        ),
+    )(aux_rev.block_rows, aux_rev.recv_local[:, None, :], pj_pad, v_flat,
+      dy_g, rscal_g)
+    dpj = dpj[:n_src_pad]
+    dv = dv[:n_src_pad].reshape(-1, h_dim, bd)[:, :, :d]
+
+    if self_logits is not None:
+        alpha_self = jnp.exp(self_logits - mx) / den      # [N, H]
+        dsl = (alpha_self * jnp.sum(self_values * dy, -1)
+               - alpha_self * s_n).astype(self_logits.dtype)
+        dsv = (alpha_self[..., None] * dy).astype(self_values.dtype)
+    else:
+        dsl = dsv = None
+    # primal-dtype cotangents (see _gatv2_bwd note)
+    return (dpi.astype(pi.dtype), dpj.astype(pj.dtype),
+            dv.astype(values_n.dtype), None, None, dsl, dsv)
+
+
+gat_attention_nodes.defvjp(_gat_fwd, _gat_bwd)
 
 
 # ---------------------------------------------------------------------------

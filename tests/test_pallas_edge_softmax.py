@@ -472,3 +472,40 @@ def test_bf16_values_f32_softmax_state():
 
     gx = jax.grad(lambda x: loss(x))(x32)
     assert bool(jnp.isfinite(gx).all())
+
+
+@pytest.mark.parametrize("with_self", [False, True])
+@pytest.mark.parametrize("heads", [1, 2])
+def test_gat_attention_nodes_fwd_grad_matches(with_self, heads):
+    """The dedicated affine-logit GAT kernel (round 4) vs the XLA path,
+    forward AND all three gradients (pi, pj, values)."""
+    from graphneuralnetworks_tpu.ops.attention import gat_attention
+    from graphneuralnetworks_tpu.ops.segment import gather
+    g = _graph(n=150, e=600, seed=5)
+    g_xla = g.replace(spmm_aux=None)
+    rng = np.random.default_rng(7)
+    d = 8
+    pi = jnp.asarray(rng.standard_normal((g.n_pad, heads)), jnp.float32)
+    pj = jnp.asarray(rng.standard_normal((g.n_pad, heads)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((g.n_pad, heads, d)), jnp.float32)
+    sl = (jnp.asarray(rng.standard_normal((g.n_pad, heads)), jnp.float32)
+          if with_self else None)
+    sv = (jnp.asarray(rng.standard_normal((g.n_pad, heads, d)), jnp.float32)
+          if with_self else None)
+    t = jnp.asarray(rng.standard_normal((g.n_pad, heads, d)), jnp.float32)
+
+    def loss(gg, pi, pj, v):
+        out = gat_attention(gg, pi, pj, v, 0.2, self_logits=sl,
+                            self_values=sv)
+        return jnp.sum(out * t)
+
+    out_f = gat_attention(g, pi, pj, v, 0.2, self_logits=sl, self_values=sv)
+    out_r = gat_attention(g_xla, pi, pj, v, 0.2, self_logits=sl,
+                          self_values=sv)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=2e-5, atol=2e-5)
+    gf = jax.grad(loss, argnums=(1, 2, 3))(g, pi, pj, v)
+    gr = jax.grad(loss, argnums=(1, 2, 3))(g_xla, pi, pj, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
