@@ -21,6 +21,14 @@ Backward is analytic (dv_e = α_e dY_[r_e]; dl_e = α_e(<v_e, dY_{r_e}> -
 <out_n, dY_n>)) and stays edge-parallel; a ``custom_vjp`` wires it up so jit
 training works end to end. ``segment_max_grouped`` (a standalone running-max
 kernel over the same grouping) remains exported for segment-max uses.
+
+TPU numerics note: in-kernel dots run at the MXU's DEFAULT precision
+(bf16-truncated inputs, f32 accumulation) — the same default every jnp
+matmul in a user model gets. Fused-path gradients therefore differ from the
+XLA fallback (which reduces on the VPU in full f32) by up to ~1e-2 relative
+on worst entries at D=64-128 — training-grade, and 3x cheaper than
+Precision.HIGHEST. The CPU interpret path is exact f32 and is what the
+oracle tests pin.
 """
 
 from __future__ import annotations
@@ -271,57 +279,60 @@ def _flash_kernel(block_rows_ref, recv_ref, lg_ref, msk_ref, v_ref,
                   m_ref, s_ref)
 
 
-def _flash_dot_kernel(block_rows_ref, recv_ref, q_ref, kv_ref,
-                      y_ref, m_ref, s_ref, *, scale: float, bo: int,
+def _flash_dot_kernel(block_rows_ref, recv_ref, q_ref, k_ref, v_ref,
+                      y_ref, m_ref, s_ref, *, scale: float,
                       slope: float | None):
     """Flash update with DOT-PRODUCT logits computed IN-kernel.
 
     ``lg = scale * <q[recv], k[sender]>``, optionally through
-    ``leaky_relu(·, slope)`` — q arrives as the output row block (no gather
-    at all; distributed to edge slots by a one-hot MXU matmul), k and v ride
-    ONE fused grouped gather (kv_ref = [K | V] along lanes, split at ``bo``;
-    the sender gather is transaction-count-bound on TPU, so one wide gather
-    beats two). No edge-space logit array ever exists.
-
-    The slope path covers GAT-family AFFINE logits as a rank-2 dot:
-    ``leaky_relu(pi[r] + pj[s]) == leaky_relu(<[pi, 1], [1, pj]>)``.
+    ``leaky_relu(·, slope)``. The logit matrix for every (row, slot) pair
+    is ONE MXU dot_general contracting the feature lanes — q rides the
+    output row block (no gather at all), k and v ride two separate 1-chunk
+    grouped gathers (two narrow gathers beat one [K|V] 2-chunk gather on
+    the descriptor engine, GATHER_STUDY.md). The online-softmax state stays
+    [BN, BE]-shaped; no slot-distribute matmuls. No edge-space logit array
+    ever exists.
     """
     kidx = pl.program_id(1)
     b = block_rows_ref[kidx]
     prev = block_rows_ref[jnp.maximum(kidx - 1, 0)]
     _flash_reset(y_ref, m_ref, s_ref,
                  jnp.logical_or(kidx == 0, b != prev))
-    neg = jnp.asarray(-jnp.inf, q_ref.dtype)
+    neg = jnp.asarray(-jnp.inf, jnp.float32)
     recv = recv_ref[0]                                    # [1, BE]
     rows = jax.lax.broadcasted_iota(jnp.int32,
                                     (y_ref.shape[0], recv.shape[1]), 0)
     hit = rows == recv                                    # [BN, BE]
-    kg = kv_ref[:, :bo]                                   # [BE, bo]
-    v = kv_ref[:, bo:]                                    # [BE, bd]
-    # q per slot: one-hot^T @ Q on the MXU; dead slots (recv==-1) get 0
-    cols = jax.lax.broadcasted_iota(jnp.int32,
-                                    (recv.shape[1], y_ref.shape[0]), 1)
-    oh_t = (cols == recv[0][:, None]).astype(q_ref.dtype)  # [BE, BN]
-    q_slot = jax.lax.dot(oh_t, q_ref[:],
-                         preferred_element_type=jnp.float32)
-    lg = (jnp.sum(q_slot * kg.astype(jnp.float32), axis=1)
-          * scale)[None, :].astype(q_ref.dtype)           # [1, BE]
+    raw = jax.lax.dot_general(
+        q_ref[:].astype(jnp.float32), k_ref[:].astype(jnp.float32),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale       # [BN, BE]
     if slope is not None:
-        lg = jnp.where(lg >= 0, lg, slope * lg)
-    lg = jnp.where(recv >= 0, lg, neg)
-    _flash_update(hit, lg, None, v, y_ref, m_ref, s_ref)
+        raw = jnp.where(raw >= 0, raw, slope * raw)
+    lg_hit = jnp.where(hit, raw, neg)
+    m_old = m_ref[0, :, 0]
+    m_new = jnp.maximum(m_old, jnp.max(lg_hit, axis=1))
+    scale_f = jnp.where(m_new == neg, 1.0, jnp.exp(m_old - m_new))
+    m_fin = jnp.where(m_new == neg, 0.0, m_new)
+    p = jnp.where(hit, jnp.exp(lg_hit - m_fin[:, None]), 0.0)
+    s_ref[0, :, 0] = s_ref[0, :, 0] * scale_f + jnp.sum(p, axis=1)
+    m_ref[0, :, 0] = m_new
+    y_ref[:] = (y_ref[:] * scale_f[:, None].astype(y_ref.dtype)
+                + jax.lax.dot(p.astype(v_ref.dtype), v_ref[:],
+                              preferred_element_type=jnp.float32)
+                .astype(y_ref.dtype))
 
 
-def _flash_dot_grouped(q_flat, kv_flat, aux: SpmmAux, n_pad: int,
+def _flash_dot_grouped(q_flat, k_flat, v_flat, aux: SpmmAux, n_pad: int,
                        scale: float, h_dim: int, bo: int, bd: int,
                        slope: float | None = None,
                        *, interpret: bool | None = None):
-    """Fused dot-logit flash pass over all heads (one grouped gather total).
+    """Fused dot-logit flash pass over all heads (two 1-chunk gathers).
 
     q_flat: [n_nblk*BN, H*bo] receiver projections (row+lane padded);
-    kv_flat: [n_eblk*BE, H*(bo+bd)] grouped ``[K | V]`` slots per head.
-    Returns (Y [n_pad_rows, H*bd], m [rows, H], s [rows, H]) — caller
-    slices/reshapes.
+    k_flat/v_flat: [n_eblk*BE, H*bo] / [n_eblk*BE, H*bd] grouped sender
+    slots per head. Returns (Y [n_pad_rows, H*bd], m [rows, H],
+    s [rows, H]) — caller slices/reshapes.
     """
     if interpret is None:
         interpret = _use_interpret()
@@ -338,32 +349,37 @@ def _flash_dot_grouped(q_flat, kv_flat, aux: SpmmAux, n_pad: int,
         in_specs=[
             pl.BlockSpec((1, 1, be), lambda j, k, br: (k, 0, 0)),
             pl.BlockSpec((BN, bo), lambda j, k, br: (br[k], j)),
-            pl.BlockSpec((be, bo + bd), lambda j, k, br: (k, j)),
+            pl.BlockSpec((be, bo), lambda j, k, br: (k, j)),
+            pl.BlockSpec((be, bd), lambda j, k, br: (k, j)),
         ],
         out_specs=[
             pl.BlockSpec((BN, bd), lambda j, k, br: (br[k], j)),
-            pl.BlockSpec((BN, 1), lambda j, k, br: (br[k], j)),
-            pl.BlockSpec((BN, 1), lambda j, k, br: (br[k], j)),
+            # per-head running max/denominator as [H, rows, 1] so the
+            # trailing block dim equals the array dim (TPU tiling rule for
+            # sub-128-lane blocks)
+            pl.BlockSpec((1, BN, 1), lambda j, k, br: (j, br[k], 0)),
+            pl.BlockSpec((1, BN, 1), lambda j, k, br: (j, br[k], 0)),
         ],
     )
     y, m, s = pl.pallas_call(
-        functools.partial(_flash_dot_kernel, scale=scale, bo=bo,
-                          slope=slope),
+        functools.partial(_flash_dot_kernel, scale=scale, slope=slope),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_nblk * BN, h_dim * bd), kv_flat.dtype),
-            jax.ShapeDtypeStruct((n_nblk * BN, h_dim), q_flat.dtype),
-            jax.ShapeDtypeStruct((n_nblk * BN, h_dim), q_flat.dtype),
+            jax.ShapeDtypeStruct((n_nblk * BN, h_dim * bd), v_flat.dtype),
+            jax.ShapeDtypeStruct((h_dim, n_nblk * BN, 1), jnp.float32),
+            jax.ShapeDtypeStruct((h_dim, n_nblk * BN, 1), jnp.float32),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * h_dim * n_eblk * be * BN * (bd + bo),
             bytes_accessed=h_dim * (n_eblk * be * (bd + bo)
                                     + n_nblk * BN * (bd + bo))
-            * kv_flat.dtype.itemsize,
+            * v_flat.dtype.itemsize,
             transcendentals=h_dim * n_eblk * be,
         ),
-    )(aux.block_rows, aux.recv_local[:, None, :], q_flat, kv_flat)
+    )(aux.block_rows, aux.recv_local[:, None, :], q_flat, k_flat, v_flat)
+    m = jnp.swapaxes(m[..., 0], 0, 1)                     # [rows, H]
+    s = jnp.swapaxes(s[..., 0], 0, 1)
     return y[:n_pad], m[:n_pad], s[:n_pad]
 
 
@@ -476,50 +492,51 @@ def _dot_forward(q, k, values_n, auxes, ids, static_args, self_logits,
     bd = min(max(d, 128), BD)
     if o > bo or d > bd:
         raise ValueError("fused dot attention requires O, D <= BD")
-    # [K | V] fused per head, one grouped gather for everything sender-side
-    kv = jnp.concatenate([_lane_pad(k, bo), _lane_pad(values_n, bd)],
-                         axis=-1)                         # [N, H, bo+bd]
-    kv_flat = kv.reshape(kv.shape[0], h_dim * (bo + bd))
-    kv_grp = gather(kv_flat, aux.senders_grp)             # [blk, BE, ...]
+    # two separate 1-chunk sender gathers: cheaper than one 2-chunk [K|V]
+    # row on the descriptor-rate-bound gather engine (GATHER_STUDY.md)
+    k_flat = _lane_pad(k, bo).reshape(k.shape[0], h_dim * bo)
+    v_flat = _lane_pad(values_n, bd).reshape(values_n.shape[0], h_dim * bd)
+    k_grp = gather(k_flat, aux.senders_grp).reshape(-1, h_dim * bo)
+    v_grp = gather(v_flat, aux.senders_grp).reshape(-1, h_dim * bd)
     # softmax state (logits/max/denominator) stays f32 regardless of the
     # value dtype: numerically right for bf16 values, and Mosaic lacks some
     # bf16 lane ops the running-max update needs (only K/V ride bf16)
     q_flat = (_lane_pad(q, bo).reshape(q.shape[0], h_dim * bo)
               .astype(jnp.float32))
-    kv_grp_flat = kv_grp.reshape(-1, h_dim * (bo + bd))
     y, m, s = _flash_dot_grouped(
-        q_flat, kv_grp_flat, aux, n_pad,
+        q_flat, k_grp, v_grp, aux, n_pad,
         float(scale), h_dim, bo, bd, slope)
     num = y.reshape(-1, h_dim, bd)[:, :, :d]              # [N, H, D]
     out3 = _finalize_softmax(num, m, s, self_logits, self_values, None)
     if return_kv_grp:
-        return out3 + (kv_grp_flat,)
+        return out3 + (k_grp, v_grp)
     return out3
 
 
 def _dot_fwd(q, k, values_n, auxes, ids, static_args, self_logits,
              self_values):
-    out, mx, den, kv_grp = _dot_forward(q, k, values_n, auxes, ids,
-                                        static_args, self_logits,
-                                        self_values, return_kv_grp=True)
-    # kv_grp (the grouped [K|V] sender rows) is the forward's expensive
-    # gather (descriptor-rate bound, GATHER_STUDY.md); keeping it as a
-    # residual lets the dq backward kernel run with ZERO gathers.
+    out, mx, den, k_grp, v_grp = _dot_forward(q, k, values_n, auxes, ids,
+                                              static_args, self_logits,
+                                              self_values,
+                                              return_kv_grp=True)
+    # k_grp/v_grp (the grouped sender rows) are the forward's expensive
+    # gathers (descriptor-rate bound, GATHER_STUDY.md); keeping them as
+    # residuals lets the dq backward kernel run with ZERO gathers.
     res = (q, k, values_n, auxes, ids, self_logits, self_values, out, mx,
-           den, kv_grp)
+           den, k_grp, v_grp)
     return out, res
 
 
 def _dot_bwd_dq_kernel(block_rows_ref, recv_ref, q_ref, scal_ref, dy_ref,
-                       kv_ref, dq_ref, *, scale: float, bo: int,
+                       k_ref, v_ref, dq_ref, *, scale: float,
                        slope: float | None):
     """dq over the FORWARD grouping with ZERO gathers.
 
-    Everything receiver-side (q, dy, mx, den, s_n) rides the output row
-    block and is distributed to edge slots by one-hot MXU matmuls; the
-    sender side is the forward's saved kv_grp residual. Recomputes
-    logits -> alpha -> dlg in-kernel and accumulates
-    ``dq[r] += dlg_e k[s_e]``.
+    Receiver operands (q, dy, mx/den/s_n) ride the output row block; the
+    sender side is the forward's saved k_grp/v_grp residuals. The per-pair
+    logit and <v, dy> matrices are MXU dot_generals contracting the
+    feature lanes ([BN, BE]-shaped state, no slot-distribute matmuls).
+    Accumulates ``dq[r] += dlg_e k[s_e]``.
     """
     kidx = pl.program_id(1)
     b = block_rows_ref[kidx]
@@ -533,41 +550,39 @@ def _dot_bwd_dq_kernel(block_rows_ref, recv_ref, q_ref, scal_ref, dy_ref,
     bn = dq_ref.shape[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (bn, recv.shape[1]), 0)
     hit = rows == recv                                    # [BN, BE]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (recv.shape[1], bn), 1)
-    oh_t = (cols == recv[0][:, None]).astype(jnp.float32)  # [BE, BN]
-    q_slot = jax.lax.dot(oh_t, q_ref[:],
-                         preferred_element_type=jnp.float32)
-    dy_slot = jax.lax.dot(oh_t, dy_ref[:],
-                          preferred_element_type=jnp.float32)
-    scal_slot = jax.lax.dot(oh_t, scal_ref[0],
-                            preferred_element_type=jnp.float32)  # [BE, 8]
-    kg = kv_ref[:, :bo].astype(jnp.float32)
-    vg = kv_ref[:, bo:].astype(jnp.float32)
-    raw = jnp.sum(q_slot * kg, axis=1) * scale            # [BE]
+    kg = k_ref[:].astype(jnp.float32)                     # [BE, bo]
+    raw = jax.lax.dot_general(
+        q_ref[:], kg, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale       # [BN, BE]
     if slope is None:
         lg, dsig = raw, scale
     else:
         lg = jnp.where(raw >= 0, raw, slope * raw)
         dsig = jnp.where(raw >= 0, 1.0, slope) * scale
-    mx_s, den_s, sn_s = scal_slot[:, 0], scal_slot[:, 1], scal_slot[:, 2]
-    valid = recv[0] >= 0
-    alpha = jnp.where(valid, jnp.exp(lg - mx_s)
-                      / jnp.maximum(den_s, 1e-38), 0.0)   # [BE]
-    dlg = alpha * (jnp.sum(vg * dy_slot, axis=1) - sn_s) * dsig
-    one_hot_w = jnp.where(hit, dlg[None, :], 0.0)         # [BN, BE]
-    dq_ref[:] += jax.lax.dot(one_hot_w, kg,
+    scal = scal_ref[0]                                    # [BN, 8]
+    mx_r = scal[:, 0][:, None]
+    den_r = jnp.maximum(scal[:, 1], 1e-38)[:, None]
+    sn_r = scal[:, 2][:, None]
+    alpha = jnp.where(hit, jnp.exp(lg - mx_r) / den_r, 0.0)
+    vdots = jax.lax.dot_general(
+        dy_ref[:], v_ref[:].astype(jnp.float32),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [BN, BE]
+    dlg = alpha * (vdots - sn_r) * dsig
+    dq_ref[:] += jax.lax.dot(dlg, kg,
                              preferred_element_type=jnp.float32)
 
 
-def _dot_bwd_dkv_kernel(block_rows_ref, recv_ref, kv_ref, rg_ref,
-                        dk_ref, dv_ref, *, scale: float, bo: int, bd: int,
-                        slope: float | None):
-    """dk and dv over the REVERSE grouping with ONE fused gather.
+def _dot_bwd_dkv_kernel(block_rows_ref, recv_ref, kv_ref, q_ref, dy_ref,
+                        scal_ref, dk_ref, dv_ref, *, scale: float, bo: int,
+                        bd: int, slope: float | None):
+    """dk and dv over the REVERSE grouping with three 1-chunk gathers.
 
     The sender side (k, v) rides the output row block; the receiver side
-    arrives as one wide gathered row per slot: ``[q | dy | mx den s_n]``
-    (rg_ref). Recomputes alpha/dlg in-kernel and accumulates
-    ``dv[s] += alpha_e dy[r_e]`` and ``dk[s] += dlg_e q[r_e]``.
+    arrives as gathered per-slot rows: q, dy, and a packed
+    ``[mx | den | s_n]`` scalar row. [BN, BE]-shaped state as in the dq
+    kernel. Accumulates ``dv[s] += alpha_e dy[r_e]`` and
+    ``dk[s] += dlg_e q[r_e]``.
     """
     kidx = pl.program_id(1)
     b = block_rows_ref[kidx]
@@ -582,29 +597,29 @@ def _dot_bwd_dkv_kernel(block_rows_ref, recv_ref, kv_ref, rg_ref,
     bn = dk_ref.shape[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (bn, recv.shape[1]), 0)
     hit = rows == recv
-    cols = jax.lax.broadcasted_iota(jnp.int32, (recv.shape[1], bn), 1)
-    oh_t = (cols == recv[0][:, None]).astype(jnp.float32)
-    kv_slot = jax.lax.dot(oh_t, kv_ref[:].astype(jnp.float32),
-                          preferred_element_type=jnp.float32)
-    k_slot, v_slot = kv_slot[:, :bo], kv_slot[:, bo:]
-    q_g = rg_ref[:, :bo]
-    dy_g = rg_ref[:, bo:bo + bd]
-    mx_g = rg_ref[:, bo + bd]
-    den_g = rg_ref[:, bo + bd + 1]
-    sn_g = rg_ref[:, bo + bd + 2]
-    raw = jnp.sum(q_g * k_slot, axis=1) * scale
+    kv_blk = kv_ref[:].astype(jnp.float32)                # [BN, bo+bd]
+    q_g = q_ref[:]                                        # [BE, bo]
+    dy_g = dy_ref[:]                                      # [BE, bd]
+    scal = scal_ref[0]                                    # [BE, 8]
+    mx_g = scal[:, 0][None, :]
+    den_g = jnp.maximum(scal[:, 1], 1e-38)[None, :]
+    sn_g = scal[:, 2][None, :]
+    raw = jax.lax.dot_general(
+        kv_blk[:, :bo], q_g, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale       # [BN, BE]
     if slope is None:
         lg, dsig = raw, scale
     else:
         lg = jnp.where(raw >= 0, raw, slope * raw)
         dsig = jnp.where(raw >= 0, 1.0, slope) * scale
-    valid = recv[0] >= 0
-    alpha = jnp.where(valid, jnp.exp(lg - mx_g)
-                      / jnp.maximum(den_g, 1e-38), 0.0)
-    dv_ref[:] += jax.lax.dot(jnp.where(hit, alpha[None, :], 0.0), dy_g,
+    alpha = jnp.where(hit, jnp.exp(lg - mx_g) / den_g, 0.0)
+    dv_ref[:] += jax.lax.dot(alpha, dy_g,
                              preferred_element_type=jnp.float32)
-    dlg = alpha * (jnp.sum(v_slot * dy_g, axis=1) - sn_g) * dsig
-    dk_ref[:] += jax.lax.dot(jnp.where(hit, dlg[None, :], 0.0), q_g,
+    vdots = jax.lax.dot_general(
+        kv_blk[:, bo:], dy_g, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [BN, BE]
+    dlg = alpha * (vdots - sn_g) * dsig
+    dk_ref[:] += jax.lax.dot(dlg, q_g,
                              preferred_element_type=jnp.float32)
 
 
@@ -614,7 +629,7 @@ def _round128(x: int) -> int:
 
 def _dot_bwd(static_args, res, dy):
     (q, k, values_n, auxes, ids, self_logits, self_values, out, mx,
-     den, kv_grp_flat) = res
+     den, k_grp, v_grp) = res
     aux, aux_rev = auxes
     receivers, senders, edge_mask = ids
     n_pad, n_src_pad, scale, slope = static_args
@@ -637,9 +652,10 @@ def _dot_bwd(static_args, res, dy):
     n_nblk_dst = -(-n_pad // BN)
     rows_dst = n_nblk_dst * BN
 
-    def _rowpad(x):
-        if x.shape[0] < rows_dst:
-            return jnp.pad(x, ((0, rows_dst - x.shape[0]),)
+    def _rowpad(x, rows=None):
+        rows = rows_dst if rows is None else rows
+        if x.shape[0] < rows:
+            return jnp.pad(x, ((0, rows - x.shape[0]),)
                            + ((0, 0),) * (x.ndim - 1))
         return x
 
@@ -647,7 +663,7 @@ def _dot_bwd(static_args, res, dy):
     dy_flat = _rowpad(_lane_pad(dy32, bd).reshape(-1, h_dim * bd))
     scal_h = _rowpad(scal).transpose(1, 0, 2)             # [H, rows, 8]
 
-    # ---- dq: forward grouping, zero gathers (kv_grp residual) ----
+    # ---- dq: forward grouping, zero gathers (k_grp/v_grp residuals) ----
     n_eblk = aux.n_eblk
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -657,13 +673,13 @@ def _dot_bwd(static_args, res, dy):
             pl.BlockSpec((BN, bo), lambda j, kk, br: (br[kk], j)),
             pl.BlockSpec((1, BN, 8), lambda j, kk, br: (j, br[kk], 0)),
             pl.BlockSpec((BN, bd), lambda j, kk, br: (br[kk], j)),
-            pl.BlockSpec((be, bo + bd), lambda j, kk, br: (kk, j)),
+            pl.BlockSpec((be, bo), lambda j, kk, br: (kk, j)),
+            pl.BlockSpec((be, bd), lambda j, kk, br: (kk, j)),
         ],
         out_specs=pl.BlockSpec((BN, bo), lambda j, kk, br: (br[kk], j)),
     )
     dq = pl.pallas_call(
-        functools.partial(_dot_bwd_dq_kernel, scale=scale, bo=bo,
-                          slope=slope),
+        functools.partial(_dot_bwd_dq_kernel, scale=scale, slope=slope),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((rows_dst, h_dim * bo), jnp.float32),
         interpret=interpret,
@@ -673,27 +689,23 @@ def _dot_bwd(static_args, res, dy):
             transcendentals=h_dim * n_eblk * be,
         ),
     )(aux.block_rows, aux.recv_local[:, None, :], q_flat, scal_h, dy_flat,
-      kv_grp_flat)
+      k_grp, v_grp)
     dq = dq[:n_pad].reshape(-1, h_dim, bo)[:, :, :o]
 
-    # ---- dk, dv: reverse grouping, one fused [q | dy | scal] gather ----
-    w_lane = _round128(bo + bd + 8)
-    r_parts = [_lane_pad(q32, bo), _lane_pad(dy32, bd), scal]
-    pad_tail = w_lane - (bo + bd + 8)
-    if pad_tail:
-        r_parts.append(jnp.zeros((q.shape[0], h_dim, pad_tail),
-                                 jnp.float32))
-    r_node = jnp.concatenate(r_parts, axis=-1)            # [N_dst, H, W]
-    r_flat = r_node.reshape(-1, h_dim * w_lane)
-    rg = gather(r_flat, aux_rev.senders_grp).reshape(-1, h_dim * w_lane)
+    # ---- dk, dv: reverse grouping, three 1-chunk gathers ----
+    q_rg = gather(q_flat[:n_pad], aux_rev.senders_grp) \
+        .reshape(-1, h_dim * bo)
+    dy_rg = gather(dy_flat[:n_pad], aux_rev.senders_grp) \
+        .reshape(-1, h_dim * bd)
+    # [H, slots, 8] so the per-head block's trailing dim equals the array's
+    scal_rg = (gather(scal.reshape(-1, h_dim * 8), aux_rev.senders_grp)
+               .reshape(-1, h_dim, 8).transpose(1, 0, 2))
 
     n_nblk_src = -(-n_src_pad // BN)
     rows_src = n_nblk_src * BN
-    kv_node = jnp.concatenate([_lane_pad(k, bo), _lane_pad(values_n, bd)],
-                              axis=-1).reshape(-1, h_dim * (bo + bd))
-    if kv_node.shape[0] < rows_src:
-        kv_node = jnp.pad(kv_node,
-                          ((0, rows_src - kv_node.shape[0]), (0, 0)))
+    kv_node = _rowpad(
+        jnp.concatenate([_lane_pad(k, bo), _lane_pad(values_n, bd)],
+                        axis=-1).reshape(-1, h_dim * (bo + bd)), rows_src)
     n_eblk_r = aux_rev.n_eblk
     grid_spec_r = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -701,7 +713,9 @@ def _dot_bwd(static_args, res, dy):
         in_specs=[
             pl.BlockSpec((1, 1, be), lambda j, kk, br: (kk, 0, 0)),
             pl.BlockSpec((BN, bo + bd), lambda j, kk, br: (br[kk], j)),
-            pl.BlockSpec((be, w_lane), lambda j, kk, br: (kk, j)),
+            pl.BlockSpec((be, bo), lambda j, kk, br: (kk, j)),
+            pl.BlockSpec((be, bd), lambda j, kk, br: (kk, j)),
+            pl.BlockSpec((1, be, 8), lambda j, kk, br: (j, kk, 0)),
         ],
         out_specs=[
             pl.BlockSpec((BN, bo), lambda j, kk, br: (br[kk], j)),
@@ -719,10 +733,11 @@ def _dot_bwd(static_args, res, dy):
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=8 * h_dim * n_eblk_r * be * BN * (bo + bd),
-            bytes_accessed=h_dim * n_eblk_r * be * (w_lane + bo + bd) * 4,
+            bytes_accessed=h_dim * n_eblk_r * be * 2 * (bo + bd) * 4,
             transcendentals=h_dim * n_eblk_r * be,
         ),
-    )(aux_rev.block_rows, aux_rev.recv_local[:, None, :], kv_node, rg)
+    )(aux_rev.block_rows, aux_rev.recv_local[:, None, :], kv_node, q_rg,
+      dy_rg, scal_rg)
     dk = dk[:n_src_pad].reshape(-1, h_dim, bo)[:, :, :k.shape[2]]
     dv_n = dv_n[:n_src_pad].reshape(-1, h_dim, bd)[:, :, :d]
 
