@@ -73,8 +73,20 @@ def main():
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
-    labels = np.arange(args.subjects) % 2     # balanced classes
-    subjects = [make_subject(rng, int(y)) for y in labels]
+    # real TemporalBrains when its files are on disk
+    # (data/datasets.temporalbrains_from_files; $GNN_TEMPORALBRAINS_DIR),
+    # else the seeded synthetic analog
+    from graphneuralnetworks_tpu.data import load_temporalbrains
+    real, is_real = load_temporalbrains()
+    if is_real:
+        ns = min(args.subjects, real.num_subjects)
+        labels = real.labels[:ns]
+        subjects = [real.subject(i) for i in range(ns)]
+        print(f"real TemporalBrains: {ns} subjects, "
+              f"{real.num_snapshots} snapshots")
+    else:
+        labels = np.arange(args.subjects) % 2     # balanced classes
+        subjects = [make_subject(rng, int(y)) for y in labels]
     n_train = int(0.8 * len(subjects))
     nfeat = subjects[0][0].x.shape[1]
 

@@ -1,8 +1,10 @@
 """Datasets and loaders (host-side)."""
 
-from .datasets import (LargeGraphData, TemporalSignalData, load_cora,
+from .datasets import (LargeGraphData, TemporalBrainsData,
+                       TemporalSignalData, load_cora,
                        load_metrla, load_ogbn_products, mldataset_to_graph,
-                       metrla_from_files, ogbn_from_files,
+                       load_temporalbrains, metrla_from_files,
+                       ogbn_from_files, temporalbrains_from_files,
                        planetoid_from_files, planetoid_from_raw,
                        synthetic_cora, synthetic_tudataset,
                        tudataset_from_files)
@@ -13,4 +15,5 @@ __all__ = ["synthetic_cora", "synthetic_tudataset", "mldataset_to_graph",
            "tudataset_from_files", "load_cora",
            "LargeGraphData", "ogbn_from_files", "load_ogbn_products",
            "TemporalSignalData", "metrla_from_files", "load_metrla",
-           "DataLoader"]
+           "TemporalBrainsData", "temporalbrains_from_files",
+           "load_temporalbrains", "DataLoader"]

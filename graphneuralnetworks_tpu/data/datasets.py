@@ -34,7 +34,9 @@ __all__ = ["synthetic_cora", "synthetic_tudataset", "mldataset_to_graph",
            "planetoid_from_files", "planetoid_from_raw",
            "tudataset_from_files", "load_cora",
            "LargeGraphData", "ogbn_from_files", "load_ogbn_products",
-           "TemporalSignalData", "metrla_from_files", "load_metrla"]
+           "TemporalSignalData", "metrla_from_files", "load_metrla",
+           "TemporalBrainsData", "temporalbrains_from_files",
+           "load_temporalbrains"]
 
 
 @dataclasses.dataclass
@@ -600,3 +602,117 @@ def planetoid_from_files(path: str) -> NodeClassificationData:
     return NodeClassificationData(g, int(z["y"].max()) + 1,
                                   padm(z["train_mask"]), padm(z["val_mask"]),
                                   padm(z["test_mask"]))
+
+
+@dataclasses.dataclass
+class TemporalBrainsData:
+    """The TemporalBrains corpus (fMRI temporal brain graphs; reference
+    consumer: examples/graph_classification_temporalbrains.jl via
+    MLDatasets.TemporalBrains): S subjects x T snapshots over the same N
+    brain regions, per-snapshot node activity, and a binary gender label.
+
+    Stored as raw host arrays; :meth:`subject` materializes one subject as
+    a padded :class:`~graphneuralnetworks_tpu.temporal.TemporalGraph` with
+    the reference's feature construction ``x_t = [I(N) | activity_t]``
+    (temporalbrains.jl:28-30, 103 features for N=102)."""
+
+    activity: np.ndarray        # float32 [S, T, N]
+    labels: np.ndarray          # int32 [S] (0 = F, 1 = M)
+    edge_ptr: np.ndarray        # int64 [S*T + 1] into senders/receivers
+    senders: np.ndarray         # int32 [total_edges]
+    receivers: np.ndarray       # int32 [total_edges]
+
+    @property
+    def num_subjects(self) -> int:
+        return self.activity.shape[0]
+
+    @property
+    def num_snapshots(self) -> int:
+        return self.activity.shape[1]
+
+    def subject(self, i: int, *, e_pad: int | None = None,
+                identity_features: bool = True):
+        """Subject ``i`` as a TemporalGraph (uniform snapshots for scan)."""
+        from ..temporal import TemporalGraph
+
+        s0, t_dim, n = self.activity.shape
+        if e_pad is None:
+            counts = np.diff(self.edge_ptr)
+            e_pad = int(counts.max())
+        eye = np.eye(n, dtype=np.float32)
+        snaps = []
+        for t in range(t_dim):
+            lo, hi = self.edge_ptr[i * t_dim + t], self.edge_ptr[i * t_dim
+                                                                + t + 1]
+            sig = self.activity[i, t].astype(np.float32)[:, None]
+            x = (np.concatenate([eye, sig], axis=1)
+                 if identity_features else sig)
+            snaps.append(graph(self.senders[lo:hi], self.receivers[lo:hi],
+                               num_nodes=n, nodes={"x": x}, e_pad=e_pad))
+        return TemporalGraph.from_snapshots(
+            snaps, uniform=True,
+            tgdata={"y": np.int32(self.labels[i])})
+
+
+def temporalbrains_from_files(directory: str) -> TemporalBrainsData:
+    """Load a TemporalBrains-format dump from disk.
+
+    Accepted layouts, in preference order:
+
+    1. ``{dir}/temporalbrains.npz`` with ``activity`` [S, T, N],
+       ``labels`` [S] (ints, or 'F'/'M' strings), ``edge_ptr`` [S*T+1],
+       ``senders``/``receivers`` [total].
+    2. Split files: ``activity.npy``, ``labels.npy`` + ``edges.npz``
+       (holding ``edge_ptr``/``senders``/``receivers``).
+    """
+    import os
+
+    npz = os.path.join(directory, "temporalbrains.npz")
+    if os.path.exists(npz):
+        z = np.load(npz, allow_pickle=False)
+        act, lab = z["activity"], z["labels"]
+        ptr, s, r = z["edge_ptr"], z["senders"], z["receivers"]
+    else:
+        a_p = os.path.join(directory, "activity.npy")
+        l_p = os.path.join(directory, "labels.npy")
+        e_p = os.path.join(directory, "edges.npz")
+        if not (os.path.exists(a_p) and os.path.exists(l_p)
+                and os.path.exists(e_p)):
+            raise FileNotFoundError(
+                f"no temporalbrains.npz and no (activity.npy, labels.npy, "
+                f"edges.npz) under {directory}")
+        act, lab = np.load(a_p), np.load(l_p)
+        z = np.load(e_p)
+        ptr, s, r = z["edge_ptr"], z["senders"], z["receivers"]
+    if lab.dtype.kind in "US":        # 'F'/'M' strings -> 0/1
+        lab = (np.char.upper(lab.astype(str)) == "M").astype(np.int32)
+    st = act.shape[0] * act.shape[1]
+    if ptr.shape[0] != st + 1:
+        raise ValueError(f"edge_ptr has {ptr.shape[0]} entries, expected "
+                         f"S*T+1 = {st + 1}")
+    return TemporalBrainsData(
+        activity=np.asarray(act, np.float32),
+        labels=np.asarray(lab, np.int32).reshape(-1),
+        edge_ptr=np.asarray(ptr, np.int64),
+        senders=np.asarray(s, np.int32),
+        receivers=np.asarray(r, np.int32))
+
+
+def load_temporalbrains() -> tuple[TemporalBrainsData | None, bool]:
+    """The real TemporalBrains when its files are on disk, else ``None``.
+
+    Search order: ``$GNN_TEMPORALBRAINS_DIR``, ``./data/temporalbrains``,
+    ``~/.datasets/temporalbrains``. Returns ``(data_or_None, is_real)``.
+    """
+    import os
+
+    for c in (os.environ.get("GNN_TEMPORALBRAINS_DIR"),
+              "data/temporalbrains",
+              os.path.expanduser("~/.datasets/temporalbrains")):
+        if not c or not os.path.isdir(c):
+            continue
+        try:
+            return temporalbrains_from_files(c), True
+        except FileNotFoundError:
+            continue
+    return None, False

@@ -262,3 +262,58 @@ def test_metrla_builds_temporal_graph(tmp_path):
     for t in range(3):
         h, out = cell(g, jax.numpy.asarray(sig[t]), h)
     assert out.shape == (g.n_pad, 4)
+
+
+def test_temporalbrains_from_files(tmp_path):
+    """Round-trip the TemporalBrains format loader on a synthetic fixture
+    (reference consumer: examples/graph_classification_temporalbrains.jl
+    via MLDatasets.TemporalBrains)."""
+    import numpy as np
+    from graphneuralnetworks_tpu.data import temporalbrains_from_files
+
+    rng = np.random.default_rng(0)
+    S, T, N = 4, 3, 10
+    activity = rng.standard_normal((S, T, N)).astype(np.float32)
+    labels = np.array(["F", "M", "M", "F"])
+    ptr = [0]
+    ss, rr = [], []
+    for _ in range(S * T):
+        e = int(rng.integers(4, 12))
+        ss += list(rng.integers(0, N, e))
+        rr += list(rng.integers(0, N, e))
+        ptr.append(len(ss))
+    np.savez(tmp_path / "temporalbrains.npz",
+             activity=activity, labels=labels,
+             edge_ptr=np.asarray(ptr, np.int64),
+             senders=np.asarray(ss, np.int32),
+             receivers=np.asarray(rr, np.int32))
+    data = temporalbrains_from_files(str(tmp_path))
+    assert data.num_subjects == S and data.num_snapshots == T
+    assert list(data.labels) == [0, 1, 1, 0]
+
+    tg = data.subject(1)
+    assert tg.num_snapshots == T
+    assert int(tg.tgdata["y"]) == 1
+    g0 = tg.snapshots[0]
+    # reference feature construction: x = [I(N) | activity]
+    assert g0.nodes["x"].shape[1] == N + 1
+    np.testing.assert_allclose(np.asarray(g0.nodes["x"][:N, :N]), np.eye(N))
+    np.testing.assert_allclose(np.asarray(g0.nodes["x"][:N, N]),
+                               activity[1, 0], rtol=1e-6)
+    lo, hi = ptr[T], ptr[T + 1]
+    ne = int(g0.num_edges)
+    assert ne == hi - lo
+    got = sorted(zip(np.asarray(g0.senders)[:ne].tolist(),
+                     np.asarray(g0.receivers)[:ne].tolist()))
+    want = sorted(zip(ss[lo:hi], rr[lo:hi]))
+    assert got == want
+
+    # split-file layout
+    np.save(tmp_path / "activity.npy", activity)
+    np.save(tmp_path / "labels.npy", np.asarray([0, 1, 1, 0], np.int32))
+    np.savez(tmp_path / "edges.npz", edge_ptr=np.asarray(ptr, np.int64),
+             senders=np.asarray(ss, np.int32),
+             receivers=np.asarray(rr, np.int32))
+    (tmp_path / "temporalbrains.npz").unlink()
+    data2 = temporalbrains_from_files(str(tmp_path))
+    np.testing.assert_array_equal(data2.labels, data.labels)
