@@ -46,6 +46,7 @@ from .convert import (from_adjacency_list, to_scipy_sparse,
                       from_scipy_sparse, to_dense_adjacency)
 from .checkpoint import save_checkpoint, restore_checkpoint, latest_step
 from . import models
+from .models.pool import topk_index
 from . import data
 from . import training
 from . import parallel

@@ -5,7 +5,8 @@ from .conv import (GCNConv, ChebConv, GraphConv, GATConv, GATv2Conv,
                    GatedGraphConv, EdgeConv, GINConv, NNConv, SAGEConv,
                    ResGatedGraphConv, CGConv, AGNNConv, MEGNetConv, GMMConv,
                    SGConv, TAGConv, EGNNConv, TransformerConv, DConv, MLP)
-from .pool import GlobalPool, GlobalAttentionPool, TopKPool, Set2Set
+from .pool import (GlobalPool, GlobalAttentionPool, TopKPool, Set2Set,
+                   topk_index)
 from .heteroconv import HeteroGraphConv
 from .temporalconv import (GNNRecurrence, GConvGRUCell, GConvLSTMCell,
                            DCGRUCell, EvolveGCNOCell, TGCNCell, GConvGRU,
@@ -18,6 +19,7 @@ __all__ = [
     "ResGatedGraphConv", "CGConv", "AGNNConv", "MEGNetConv", "GMMConv",
     "SGConv", "TAGConv", "EGNNConv", "TransformerConv", "DConv", "MLP",
     "GlobalPool", "GlobalAttentionPool", "TopKPool", "Set2Set",
+    "topk_index",
     "HeteroGraphConv",
     "GNNRecurrence", "GConvGRUCell", "GConvLSTMCell", "DCGRUCell",
     "EvolveGCNOCell", "TGCNCell", "GConvGRU", "GConvLSTM", "DCGRU",

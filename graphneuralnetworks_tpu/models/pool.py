@@ -15,7 +15,38 @@ from ..graph import GraphTuple
 from ..ops import (broadcast_nodes, reduce_nodes, softmax_nodes)
 from .basic import GNNLayer, glorot_uniform
 
-__all__ = ["GlobalPool", "GlobalAttentionPool", "TopKPool", "Set2Set"]
+__all__ = ["GlobalPool", "GlobalAttentionPool", "TopKPool", "Set2Set",
+           "topk_index"]
+
+
+def topk_index(y, k: int, *, g: GraphTuple | None = None):
+    """Indices of the ``k`` largest entries of the score vector ``y``.
+
+    Reference parity: ``topk_index`` (GNNlib/src/layers/pool.jl:22-27,
+    exported at GNNlib/src/GNNlib.jl:71). The reference returns every index
+    whose score ties the k-th largest (possibly more than ``k``); this
+    jit-friendly version returns exactly ``k`` indices (``jax.lax.top_k``
+    tie-break: lowest index wins), sorted by descending score.
+
+    Without ``g``: ``y`` is ``[N]`` and the result is ``(values [k],
+    indices [k])`` over the whole vector.
+
+    With a (possibly batched, padded) graph ``g``: returns per-graph top-k —
+    ``(values [G_pad, k], indices [G_pad, k])`` where ``indices[b]`` are
+    GLOBAL node indices of graph ``b``'s top-k nodes. Padding nodes (and
+    nodes of other graphs) score ``-inf``; graphs with fewer than ``k``
+    valid nodes pad the tail with ``-inf`` values (their indices point at
+    arbitrary masked nodes — check ``values`` for finiteness).
+    """
+    y = jnp.asarray(y)
+    if y.ndim != 1:
+        raise ValueError(f"topk_index expects a score vector, got {y.shape}")
+    if g is None:
+        return jax.lax.top_k(y, k)
+    mask = (g.node_graph_id[None, :] == jnp.arange(g.g_pad)[:, None])
+    mask = mask & g.node_mask[None, :]
+    per_graph = jnp.where(mask, y[None, :], -jnp.inf)     # [G_pad, N_pad]
+    return jax.lax.top_k(per_graph, k)
 
 
 class GlobalPool(GNNLayer):
@@ -71,7 +102,7 @@ class TopKPool(GNNLayer):
         p = self.p[...][:, 0]
         y = x @ p / jnp.maximum(jnp.linalg.norm(p), 1e-12)     # [N_pad]
         y = jnp.where(g.node_mask, y, -jnp.inf)
-        topv, topi = jax.lax.top_k(y, self.k)
+        topv, topi = topk_index(y, self.k)
         xk = x[topi] * jax.nn.sigmoid(topv)[:, None]
         return xk, topi
 

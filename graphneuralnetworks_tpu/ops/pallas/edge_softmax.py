@@ -1274,36 +1274,35 @@ def _gatv2_fwd(q, k, a, auxes, ids, static_args, self_logits, self_values):
 
 
 def _gatv2_bwd(static_args, res, dy):
-    from ..segment import gather as _g
     (q, k, a, auxes, ids, self_logits, self_values, out, mx, den) = res
     aux, aux_rev = auxes
     receivers, senders, edge_mask = ids
     n_pad, n_src_pad, slope = static_args
     h_dim, o = q.shape[1], q.shape[2]
-    raw = _g(q, receivers) + _g(k, senders)               # [E, H, O]
+    raw = gather(q, receivers) + gather(k, senders)               # [E, H, O]
     act = jnp.where(raw >= 0, raw, slope * raw)
     lg = jnp.einsum("ehf,fh->eh", act, a)
     alpha_e = jnp.where(
         edge_mask[:, None],
         jnp.exp(jnp.where(edge_mask[:, None], lg, -jnp.inf)
-                - _g(mx, receivers)) / _g(den, receivers),
+                - gather(mx, receivers)) / gather(den, receivers),
         0.0)                                              # [E, H]
 
     # value-gradient half (values == k): reverse-grouped scatter-matmul
     alpha_ext = jnp.concatenate(
         [alpha_e, jnp.zeros((1, h_dim), alpha_e.dtype)])
     dk = jnp.stack(
-        [_scatter_grouped(_g(dy[:, h, :], aux_rev.senders_grp), aux_rev,
+        [_scatter_grouped(gather(dy[:, h, :], aux_rev.senders_grp), aux_rev,
                           n_src_pad,
                           w_grp=gather_1d(alpha_ext[:, h], aux_rev.edge_perm),
                           interpret=_use_interpret())
          for h in range(h_dim)], axis=1)                  # [N_src, H, O]
 
-    dy_e = _g(dy, receivers)                              # [E, H, O]
-    v_e = _g(k, senders)
+    dy_e = gather(dy, receivers)                              # [E, H, O]
+    v_e = gather(k, senders)
     s_n = jnp.sum(out * dy, -1)                           # [N, H]
     dlg = alpha_e * (jnp.sum(v_e * dy_e, -1)
-                     - _g(s_n, receivers))                # [E, H]
+                     - gather(s_n, receivers))                # [E, H]
     da = jnp.einsum("ehf,eh->fh", act, dlg)
     dsig = jnp.where(raw >= 0, 1.0, slope)
     draw = dlg[..., None] * jnp.swapaxes(a, 0, 1)[None] * dsig  # [E, H, O]
@@ -1316,7 +1315,7 @@ def _gatv2_bwd(static_args, res, dy):
                           interpret=_use_interpret())
          for h in range(h_dim)], axis=1)
     dk = dk + jnp.stack(
-        [_scatter_grouped(_g(draw_ext[:, h, :], aux_rev.edge_perm), aux_rev,
+        [_scatter_grouped(gather(draw_ext[:, h, :], aux_rev.edge_perm), aux_rev,
                           n_src_pad, interpret=_use_interpret())
          for h in range(h_dim)], axis=1)
     if self_logits is not None:

@@ -340,7 +340,6 @@ def _scatter_sddmm_kernel(block_rows_ref, recv_ref, w_ref, m_ref, x_ref,
     the round-3 separate grouped-SDDMM pass (7.9 ms at 2M/128) and the
     [slots, D] forward-values VJP residual (~1 GB) it consumed.
     """
-    j = pl.program_id(0)
     k = pl.program_id(1)
     b = block_rows_ref[k]
     prev = block_rows_ref[jnp.maximum(k - 1, 0)]
@@ -350,12 +349,6 @@ def _scatter_sddmm_kernel(block_rows_ref, recv_ref, w_ref, m_ref, x_ref,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    @pl.when(j == 0)
-    def _():
-        # dots accumulate over feature blocks (j); each k step owns its own
-        # dots block, so only the first feature sweep zero-initializes
-        dots_ref[:] = jnp.zeros_like(dots_ref)
-
     recv = recv_ref[0]                                    # [1, BE] int32
     rows = jax.lax.broadcasted_iota(jnp.int32,
                                     (out_ref.shape[0], recv.shape[1]), 0)
@@ -364,14 +357,19 @@ def _scatter_sddmm_kernel(block_rows_ref, recv_ref, w_ref, m_ref, x_ref,
     out_ref[:] += jax.lax.dot(
         one_hot, m_ref[:], preferred_element_type=jnp.float32
     ).astype(out_ref.dtype)
-    # x rows -> slots: dead slots (recv == -1) hit nothing and get 0
+    # x rows -> slots: dead slots (recv == -1) hit nothing and get 0.
+    # The dots output carries a per-feature-block axis (indexed by j), so
+    # each grid step owns a fresh write-once block: with j as the OUTER grid
+    # dim, a (k)-only dots block would be revisited at non-consecutive
+    # steps, which TPU output revisit semantics don't accumulate across
+    # (the partial sums over j are reduced after the pallas_call instead).
     cols = jax.lax.broadcasted_iota(jnp.int32,
                                     (recv.shape[1], out_ref.shape[0]), 1)
     oh_t = (cols == recv[0][:, None]).astype(jnp.float32)  # [BE, BN]
     x_slot = jax.lax.dot(oh_t, x_ref[:].astype(jnp.float32),
                          preferred_element_type=jnp.float32)
-    dots_ref[0, 0] += jnp.sum(x_slot * m_ref[:].astype(jnp.float32),
-                              axis=1)
+    dots_ref[0, 0, 0] = jnp.sum(x_slot * m_ref[:].astype(jnp.float32),
+                                axis=1)
 
 
 def _scatter_grouped_sddmm(values_grp, x, aux: SpmmAux, n_pad: int,
@@ -407,7 +405,7 @@ def _scatter_grouped_sddmm(values_grp, x, aux: SpmmAux, n_pad: int,
         ],
         out_specs=[
             pl.BlockSpec((BN, bd), lambda j, k, br: (br[k], j)),
-            pl.BlockSpec((1, 1, be), lambda j, k, br: (k, 0, 0)),
+            pl.BlockSpec((1, 1, 1, be), lambda j, k, br: (j, k, 0, 0)),
         ],
     )
     out, dots = pl.pallas_call(
@@ -415,7 +413,7 @@ def _scatter_grouped_sddmm(values_grp, x, aux: SpmmAux, n_pad: int,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_nblk * BN, d_padded), values_grp.dtype),
-            jax.ShapeDtypeStruct((n_eblk, 1, be), jnp.float32),
+            jax.ShapeDtypeStruct((n_dblk, n_eblk, 1, be), jnp.float32),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -427,7 +425,7 @@ def _scatter_grouped_sddmm(values_grp, x, aux: SpmmAux, n_pad: int,
         ),
     )(aux.block_rows, aux.recv_local[:, None, :],
       w_grp[:, None, :].astype(values_grp.dtype), vflat, x)
-    return out[:n_pad, :d], dots[:, 0, :]
+    return out[:n_pad, :d], jnp.sum(dots, axis=0)[:, 0, :]
 
 
 def _use_interpret() -> bool:

@@ -359,3 +359,19 @@ def test_pooling(test_graphs, rngs):
     assert xk.shape == (3, IN) and idx.shape == (3,)
     # only real nodes selected
     assert np.asarray(idx).max() < int(gs[0].num_nodes)
+
+    # topk_index (GNNlib/src/layers/pool.jl:22-27): vector form + per-graph
+    # batched form returning GLOBAL node indices
+    y = jnp.sum(x, axis=1)
+    vals, idx = M.topk_index(y, 3)
+    yn = np.asarray(y)
+    np.testing.assert_array_equal(np.asarray(idx), np.argsort(-yn)[:3])
+    valsb, idxb = M.topk_index(y, 2, g=gb)
+    gid = np.asarray(gb.node_graph_id)
+    nmask = np.asarray(gb.node_mask)
+    for b in range(int(gb.num_graphs)):
+        cand = np.where((gid == b) & nmask)[0]
+        expect = cand[np.argsort(-yn[cand])[:2]]
+        np.testing.assert_array_equal(np.asarray(idxb)[b], expect)
+        np.testing.assert_allclose(np.asarray(valsb)[b], yn[expect],
+                                   rtol=1e-6)

@@ -101,6 +101,37 @@ def test_spmm_grad_weight_matches_xla():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_spmm_weighted_grad_multi_feature_block():
+    # D > BD=512 exercises n_dblk > 1: the fused dx+dw backward's dots
+    # output must carry a per-feature-block axis (ADVICE r4: with the
+    # feature-block grid dim OUTERMOST, a (k)-only dots block is revisited
+    # at non-consecutive grid steps, which TPU output semantics don't
+    # accumulate across — partial sums are reduced after the pallas_call).
+    g = _graph(n=40, e=160, weighted=True)
+    rng = np.random.default_rng(6)
+    d = 1024
+    x = jnp.asarray(rng.standard_normal((g.n_pad, d)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((g.n_pad, d)), jnp.float32)
+    w0 = g.edge_weight
+
+    def loss_kernel(xx, w):
+        return jnp.sum(spmm(g, xx, edge_weight=w, weighted=True) * t)
+
+    def loss_ref(xx, w):
+        m = ops.gather(xx, g.senders) * w[:, None]
+        y = ops.segment_sum(m, g.receivers, g.n_pad, mask=g.edge_mask,
+                            sorted=True)
+        return jnp.sum(y * t)
+
+    gx1, gw1 = jax.grad(loss_kernel, argnums=(0, 1))(x, w0)
+    gx2, gw2 = jax.grad(loss_ref, argnums=(0, 1))(x, w0)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=1e-4, atol=1e-4)
+    ne = int(g.num_edges)
+    np.testing.assert_allclose(np.asarray(gw1)[:ne], np.asarray(gw2)[:ne],
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_spmm_empty_and_dense_blocks():
     # graph whose receivers concentrate in one node block + empty blocks
     s = np.arange(600) % 97
