@@ -2,11 +2,14 @@
 
 Net-new vs the reference (no distributed execution exists there — SURVEY
 §2.6): **edge-partitioned propagate with halo exchange**. Each shard owns a
-node range and the edges pointing into it; one `all_to_all` over the ICI
+node set and the edges pointing into it; one `all_to_all` over the ICI
 "graph" axis ships exactly the boundary-node features each shard needs
 (the halo buffer built host-side by parallel/partition.py), then a local
 receiver-sorted segment-sum aggregates. Communication volume = the edge-cut
-of the partition, not O(N).
+of the partition, not O(N). With the partition's owned/remote edge split
+(the default), the owned-sender half of the aggregation has no data
+dependence on the collective, so XLA's latency-hiding scheduler overlaps
+the all_to_all with it (`_halo_propagate_split`).
 
 Gradients flow through collectives by JAX AD (the transpose of all_to_all is
 all_to_all), so the same definition serves forward and backward. Data
@@ -36,15 +39,28 @@ def halo_propagate_local(x_local: jax.Array, pg_local: PartitionedGraph,
                          axis: str, *, edge_weight=None) -> jax.Array:
     """One shard's propagate(copy_xj/w_mul_xj, +) step, inside shard_map.
 
+    When the partition carries the owned/remote edge split (the
+    ``split_local=True`` default of :func:`~.partition.partition_graph`),
+    owned-sender edges aggregate straight from ``x_local`` with no data
+    dependence on the collective — XLA's latency-hiding scheduler runs that
+    segment-sum while the (off-diagonal-only) ``all_to_all`` is in flight,
+    and the remote buffer's row count is set by the true edge cut instead
+    of total fan-in (SURVEY §7.3.4's overlap requirement).
+
     Args:
       x_local: [n_local, D] features of owned nodes.
       pg_local: this shard's partition slice (leaves carry a leading
         singleton shard axis, as produced by sharding a
         :class:`PartitionedGraph` with ``P(axis)``).
       axis: mesh axis name for the halo all_to_all.
+      edge_weight: optional [e_local] per-edge weights in COMBINED edge
+        order — forces the combined (non-overlap) path; weights carried by
+        the partition itself ride the split path fine.
 
     Returns [n_local, D] aggregated features on owned nodes.
     """
+    if pg_local.own_recv is not None and edge_weight is None:
+        return _halo_propagate_split(x_local, pg_local, axis)
     send_ids = pg_local.halo_send[0]                      # [P, h_max]
     send = x_local[send_ids]                              # [P, h_max, D]
     recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
@@ -70,6 +86,55 @@ def halo_propagate_local(x_local: jax.Array, pg_local: PartitionedGraph,
     if w is not None:
         m = m * w[:, None]
     return segment_sum(m, pg_local.recv_local[0], pg_local.n_local)
+
+
+def _halo_propagate_split(x_local: jax.Array, pg: PartitionedGraph,
+                          axis: str) -> jax.Array:
+    """Overlapped shard step: off-diagonal all_to_all || owned segment-sum.
+
+    ``y = Σ_own w_e x_local[s_e] + Σ_rem w_e buf[s_e]`` — the owned half
+    has no dependence on ``buf``, so the compiler hides the collective
+    behind it. Bit-equality with the combined path is NOT guaranteed (the
+    two halves sum in a different order); tests compare with allclose.
+    """
+    send = x_local[pg.halo_send_rem[0]]                   # [P, h_rem, D]
+    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
+    w_own = None if pg.own_weight is None else pg.own_weight[0]
+    w_rem = None if pg.rem_weight is None else pg.rem_weight[0]
+
+    if pg.split_aux is not None:
+        from ..ops.pallas.spmm import spmm_gather_scatter
+        a_of, a_or, a_rf, a_rr = (
+            jax.tree.map(lambda a: a[0], t) for t in pg.split_aux)
+
+        def wext(wm, mask):
+            if wm is None:
+                return None
+            return jnp.concatenate(
+                [jnp.where(mask, wm, 0).astype(x_local.dtype),
+                 jnp.zeros((1,), x_local.dtype)])
+
+        # owned half first in program order; dataflow keeps it independent
+        # of the collective either way
+        y = spmm_gather_scatter(x_local, wext(w_own, pg.own_mask[0]),
+                                (a_of, a_or),
+                                (pg.n_local, x_local.shape[0]))
+        buf = recv.reshape(pg.num_parts * pg.h_rem, -1)
+        y = y + spmm_gather_scatter(buf, wext(w_rem, pg.rem_mask[0]),
+                                    (a_rf, a_rr),
+                                    (pg.n_local, buf.shape[0]))
+        return y
+
+    m_own = x_local[pg.own_send[0]]                       # [e_own, D]
+    m_own = jnp.where(pg.own_mask[0][:, None], m_own, 0)
+    if w_own is not None:
+        m_own = m_own * w_own[:, None]
+    y = segment_sum(m_own, pg.own_recv[0], pg.n_local)
+    buf = recv.reshape(pg.num_parts * pg.h_rem, -1)
+    m_rem = jnp.where(pg.rem_mask[0][:, None], buf[pg.rem_send[0]], 0)
+    if w_rem is not None:
+        m_rem = m_rem * w_rem[:, None]
+    return y + segment_sum(m_rem, pg.rem_recv[0], pg.n_local)
 
 
 def shard_partitioned(pg: PartitionedGraph, axis: str = "graph"):

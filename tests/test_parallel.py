@@ -121,7 +121,8 @@ def test_halo_propagate_kernel_matches_single_device(mesh, weighted):
     g = gnn.rand_graph(96, 512, seed=5, edge_weight=w)
     pg = partition_graph(g, NDEV, build_spmm_aux=True)
     assert pg.spmm_aux is not None
-    pg_xla = __import__("dataclasses").replace(pg, spmm_aux=None)
+    pg_xla = __import__("dataclasses").replace(pg, spmm_aux=None,
+                                               split_aux=None)
     rng = np.random.default_rng(6)
     nn = int(g.num_nodes)
     x = rng.standard_normal((nn, 16)).astype(np.float32)
@@ -144,6 +145,96 @@ def test_halo_propagate_kernel_matches_single_device(mesh, weighted):
 
     g1 = jax.grad(loss)(xs, pg)
     g2 = jax.grad(loss)(xs, pg_xla)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
+                               atol=1e-4)
+
+
+def _sbm_edges(n=4096, e=40000, ncomm=16, p_intra=0.8, seed=0):
+    """Hidden-community SBM edge list (ids shuffled)."""
+    rng = np.random.default_rng(seed)
+    comm = rng.permutation(n) % ncomm
+    s = rng.integers(0, n, e)
+    r = rng.integers(0, n, e)
+    intra = rng.random(e) < p_intra
+    cs = comm[s]
+    for c in range(ncomm):
+        m = intra & (cs == c)
+        if m.any():
+            r[m] = rng.choice(np.nonzero(comm == c)[0], int(m.sum()))
+    return s.astype(np.int32), r.astype(np.int32)
+
+
+def test_partition_nodes_quality_and_balance():
+    """The locality-aware partitioner (net-new; no reference analog): on a
+    hidden-community graph it must beat the contiguous-range cut decisively
+    while staying balanced."""
+    from graphneuralnetworks_tpu.parallel import partition_nodes
+    n = 4096
+    s, r = _sbm_edges(n=n)
+    for P_ in (2, 8):
+        parts = partition_nodes(s, r, n, P_)
+        assert parts.shape == (n,) and parts.min() >= 0 \
+            and parts.max() < P_
+        sizes = np.bincount(parts, minlength=P_)
+        assert sizes.max() <= int(np.ceil(n / P_ * 1.05))
+        cut = float(np.mean(parts[s] != parts[r]))
+        rng_parts = (np.arange(n) * P_ // n).astype(np.int32)
+        cut_range = float(np.mean(rng_parts[s] != rng_parts[r]))
+        # range finds nothing (ids shuffled): cut ~ (P-1)/P; BFS+LDG must
+        # at least halve it on this graph
+        assert cut < 0.55 * cut_range, (P_, cut, cut_range)
+
+
+def test_partition_graph_bfs_string(mesh):
+    """partition_graph(parts="bfs") routes through partition_nodes and the
+    sharded propagate still equals the single-device oracle."""
+    s, r = _sbm_edges(n=256, e=2048, ncomm=8)
+    g = gnn.graph(s, r, num_nodes=256)
+    pg = partition_graph(g, NDEV, parts="bfs")
+    nn = int(g.num_nodes)
+    x = np.random.default_rng(1).standard_normal((nn, 8)).astype(np.float32)
+    xg = jnp.zeros((g.n_pad, 8)).at[:nn].set(jnp.asarray(x))
+    y_ref = ops.propagate(ops.copy_xj, g, "sum", xj=xg)
+    run = make_sharded_propagate(mesh, pg)
+    y = pg.gather_nodes(run(pg.scatter_nodes(x), pg))
+    np.testing.assert_allclose(y, np.asarray(y_ref)[:nn], rtol=1e-4,
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_split_overlap_path_matches_combined(mesh, weighted):
+    """The owned/remote halo-overlap split (SURVEY §7.3.4) must equal the
+    combined single-all_to_all path, forward and gradient."""
+    import dataclasses
+    w = (np.random.default_rng(9).random(512).astype(np.float32)
+         if weighted else None)
+    g = gnn.rand_graph(96, 512, seed=11, edge_weight=w)
+    pg = partition_graph(g, NDEV)                      # split_local default
+    assert pg.own_recv is not None and pg.halo_send_rem is not None
+    # the remote buffer excludes the diagonal: strictly fewer rows than the
+    # combined halo buffer on this random graph
+    assert pg.h_rem <= pg.h_max
+    pg_comb = dataclasses.replace(
+        pg, own_recv=None, own_send=None, own_mask=None, own_weight=None,
+        rem_recv=None, rem_send=None, rem_mask=None, rem_weight=None,
+        halo_send_rem=None, split_aux=None)
+    nn = int(g.num_nodes)
+    x = np.random.default_rng(12).standard_normal((nn, 8)) \
+        .astype(np.float32)
+    xs = pg.scatter_nodes(x)
+    y_split = pg.gather_nodes(make_sharded_propagate(mesh, pg)(xs, pg))
+    y_comb = pg.gather_nodes(
+        make_sharded_propagate(mesh, pg_comb)(xs, pg_comb))
+    np.testing.assert_allclose(y_split, y_comb, rtol=1e-4, atol=1e-4)
+
+    t = jnp.asarray(np.random.default_rng(13)
+                    .standard_normal(xs.shape), jnp.float32)
+
+    def loss(xs, pg_):
+        return jnp.sum(make_sharded_propagate(mesh, pg_)(xs, pg_) * t)
+
+    g1 = jax.grad(loss)(xs, pg)
+    g2 = jax.grad(loss)(xs, pg_comb)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
                                atol=1e-4)
 
@@ -314,10 +405,9 @@ def test_make_mesh_train_step_matches_single_device():
     rng = np.random.default_rng(0)
 
     graphs = [gnn.rand_graph(48, 192, seed=i) for i in range(dp)]
+    from graphneuralnetworks_tpu.parallel import union_capacities
     probes = [partition_graph(g, gp) for g in graphs]
-    caps = dict(n_local=max(p.n_local for p in probes),
-                e_local=max(p.e_local for p in probes),
-                h_max=max(p.h_max for p in probes))
+    caps = union_capacities(*probes)
     pgs = [partition_graph(g, gp, **caps) for g in graphs]
     xs, ys = [], []
     for g, pg in zip(graphs, pgs):
