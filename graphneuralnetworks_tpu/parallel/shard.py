@@ -146,11 +146,15 @@ def make_sharded_propagate(mesh: Mesh, pg: PartitionedGraph,
                            axis: str = "graph") -> Callable:
     """Build ``f(x_stacked [P, n_local, D], pg) -> [P, n_local, D]`` running
     the halo propagate under shard_map on ``mesh``. Call as ``f(x, pg)`` —
-    pass the same ``pg`` (its array leaves are sharded on ``axis``)."""
+    pass the same ``pg`` (its array leaves are sharded on ``axis``). The
+    returned function is jitted: eager shard_map would re-trace (and
+    re-run interpret-mode kernels) on every call — measured 7 s/call vs
+    16 ms jitted on the 8-device CPU mesh."""
     specs = shard_partitioned(pg, axis)
 
     # check_vma=False: pallas_call outputs carry no varying-mesh-axes
     # annotation, and every output here is trivially sharded on `axis`
+    @jax.jit
     @functools.partial(jax.shard_map, mesh=mesh,
                        in_specs=(P(axis), specs), out_specs=P(axis),
                        check_vma=False)
@@ -184,6 +188,7 @@ def make_sharded_apply(mesh: Mesh, pg: PartitionedGraph,
     """
     specs = shard_partitioned(pg, axis)
 
+    @jax.jit
     @functools.partial(jax.shard_map, mesh=mesh,
                        in_specs=(P(), P(axis), specs), out_specs=P(axis),
                        check_vma=False)
