@@ -1156,35 +1156,66 @@ gat_attention_nodes.defvjp(_gat_fwd, _gat_bwd)
 
 
 def _flash_gatv2_kernel(block_rows_ref, recv_ref, q_ref, kg_ref, a_ref,
-                        y_ref, m_ref, s_ref, *, slope: float):
+                        y_ref, m_ref, s_ref, *, slope: float, bo: int,
+                        h_dim: int):
     """Flash update with GATv2 logits computed IN-kernel.
 
     ``lg = <a, leaky_relu(q[recv] + k[sender])>`` and the VALUES are the
     same ``k[sender]`` rows (GATv2 aggregates Wx_j — GNNlib conv.jl:171-214)
     — so the ENTIRE layer pays one grouped gather. q arrives as the output
-    row block, distributed to slots by a one-hot MXU matmul.
+    row block, distributed to slots by a one-hot MXU matmul (the leaky_relu
+    sits between the add and the <a,·> contraction, so the logit cannot be
+    factored into the [BN,BE] broadcast form the GAT kernel uses).
+
+    All heads ride one grid step (blocks carry the full H*bo width, r5: a
+    per-head grid axis needs (BN,1)/(1,bo) blocks over [·,H] arrays, which
+    violates the TPU (8,128)-divisibility tiling rule for H>1 — the exact
+    H>1 lowering failure r4 fixed for GAT/dot, surfaced for GATv2 by
+    benchmarks/measure_r5.py).
     """
-    kidx = pl.program_id(1)
+    kidx = pl.program_id(0)
     b = block_rows_ref[kidx]
     prev = block_rows_ref[jnp.maximum(kidx - 1, 0)]
     _flash_reset(y_ref, m_ref, s_ref,
                  jnp.logical_or(kidx == 0, b != prev))
-    neg = jnp.asarray(-jnp.inf, q_ref.dtype)
+    neg = jnp.asarray(-jnp.inf, jnp.float32)
     recv = recv_ref[0]                                    # [1, BE]
-    rows = jax.lax.broadcasted_iota(jnp.int32,
-                                    (y_ref.shape[0], recv.shape[1]), 0)
+    bn = y_ref.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bn, recv.shape[1]), 0)
     hit = rows == recv                                    # [BN, BE]
     cols = jax.lax.broadcasted_iota(jnp.int32,
-                                    (recv.shape[1], y_ref.shape[0]), 1)
-    oh_t = (cols == recv[0][:, None]).astype(q_ref.dtype)  # [BE, BN]
-    q_slot = jax.lax.dot(oh_t, q_ref[:],
-                         preferred_element_type=jnp.float32)
-    raw = q_slot + kg_ref[:].astype(jnp.float32)          # [BE, bo]
-    act = jnp.where(raw >= 0, raw, slope * raw)
-    lg = jnp.sum(act * a_ref[0][None, :].astype(jnp.float32),
-                 axis=1)[None, :].astype(q_ref.dtype)     # [1, BE]
-    lg = jnp.where(recv >= 0, lg, neg)
-    _flash_update(hit, lg, None, kg_ref[:], y_ref, m_ref, s_ref)
+                                    (recv.shape[1], bn), 1)
+    oh_t = (cols == recv[0][:, None]).astype(jnp.float32)  # [BE, BN]
+    y_all = y_ref[:]
+    m_all = m_ref[:]
+    s_all = s_ref[:]
+    a_row = a_ref[0].astype(jnp.float32)                  # [H*bo]
+    ys, ms, ss = [], [], []
+    for h in range(h_dim):
+        sl = slice(h * bo, (h + 1) * bo)
+        q_slot = jax.lax.dot(oh_t, q_ref[:, sl],
+                             preferred_element_type=jnp.float32)
+        kg_h = kg_ref[:, sl]
+        raw = q_slot + kg_h.astype(jnp.float32)           # [BE, bo]
+        act = jnp.where(raw >= 0, raw, slope * raw)
+        lg = jnp.sum(act * a_row[sl][None, :], axis=1)[None, :]  # [1, BE]
+        lg_hit = jnp.where(hit & (recv >= 0), lg, neg)    # [BN, BE]
+        m_old = m_all[:, h]
+        m_new = jnp.maximum(m_old, jnp.max(lg_hit, axis=1))
+        scale = jnp.where(m_new == neg, 1.0, jnp.exp(m_old - m_new))
+        m_fin = jnp.where(m_new == neg, 0.0, m_new)
+        p = jnp.where(hit, jnp.exp(lg_hit - m_fin[:, None]), 0.0)
+        s_h = s_all[:, h] * scale + jnp.sum(p, axis=1)
+        y_h = (y_all[:, sl] * scale[:, None].astype(y_all.dtype)
+               + jax.lax.dot(p.astype(kg_h.dtype), kg_h,
+                             preferred_element_type=jnp.float32)
+               .astype(y_all.dtype))
+        ys.append(y_h)
+        ms.append(m_new[:, None])
+        ss.append(s_h[:, None])
+    y_ref[:] = ys[0] if h_dim == 1 else jnp.concatenate(ys, axis=1)
+    m_ref[:] = ms[0] if h_dim == 1 else jnp.concatenate(ms, axis=1)
+    s_ref[:] = ss[0] if h_dim == 1 else jnp.concatenate(ss, axis=1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -1228,25 +1259,27 @@ def _gatv2_forward(q, k, a, auxes, ids, static_args, self_logits,
     q_flat = (_lane_pad(q, bo).reshape(q.shape[0], h_dim * bo)
               .astype(jnp.float32))
     q_flat = jnp.pad(q_flat, ((0, n_nblk * BN - q_flat.shape[0]), (0, 0)))
-    a_hp = _lane_pad(jnp.swapaxes(a, 0, 1), bo)           # [H, bo]
+    a_hp = _lane_pad(jnp.swapaxes(a, 0, 1), bo) \
+        .reshape(1, h_dim * bo)                           # [1, H*bo]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(h_dim, n_eblk),
+        grid=(n_eblk,),
         in_specs=[
-            pl.BlockSpec((1, 1, be), lambda j, kk, br: (kk, 0, 0)),
-            pl.BlockSpec((BN, bo), lambda j, kk, br: (br[kk], j)),
-            pl.BlockSpec((be, bo), lambda j, kk, br: (kk, j)),
-            pl.BlockSpec((1, bo), lambda j, kk, br: (j, 0)),
+            pl.BlockSpec((1, 1, be), lambda kk, br: (kk, 0, 0)),
+            pl.BlockSpec((BN, h_dim * bo), lambda kk, br: (br[kk], 0)),
+            pl.BlockSpec((be, h_dim * bo), lambda kk, br: (kk, 0)),
+            pl.BlockSpec((1, h_dim * bo), lambda kk, br: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((BN, bo), lambda j, kk, br: (br[kk], j)),
-            pl.BlockSpec((BN, 1), lambda j, kk, br: (br[kk], j)),
-            pl.BlockSpec((BN, 1), lambda j, kk, br: (br[kk], j)),
+            pl.BlockSpec((BN, h_dim * bo), lambda kk, br: (br[kk], 0)),
+            pl.BlockSpec((BN, h_dim), lambda kk, br: (br[kk], 0)),
+            pl.BlockSpec((BN, h_dim), lambda kk, br: (br[kk], 0)),
         ],
     )
     y, m, s = pl.pallas_call(
-        functools.partial(_flash_gatv2_kernel, slope=slope),
+        functools.partial(_flash_gatv2_kernel, slope=slope, bo=bo,
+                          h_dim=h_dim),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_nblk * BN, h_dim * bo), k.dtype),
