@@ -1241,7 +1241,7 @@ def gatv2_attention_nodes(q, k, a, auxes, ids, static_args,
 
 
 def _gatv2_forward(q, k, a, auxes, ids, static_args, self_logits,
-                   self_values):
+                   self_values, return_grp: bool = False):
     from .spmm import BD
     aux, _ = auxes
     n_pad, _, slope = static_args
@@ -1295,62 +1295,250 @@ def _gatv2_forward(q, k, a, auxes, ids, static_args, self_logits,
         ),
     )(aux.block_rows, aux.recv_local[:, None, :], q_flat, kg_flat, a_hp)
     num = y[:n_pad].reshape(-1, h_dim, bo)[:, :, :o]
-    return _finalize_softmax(num, m[:n_pad], s[:n_pad], self_logits,
+    out3 = _finalize_softmax(num, m[:n_pad], s[:n_pad], self_logits,
                              self_values, None)
+    if return_grp:
+        return out3 + (kg_flat,)
+    return out3
 
 
 def _gatv2_fwd(q, k, a, auxes, ids, static_args, self_logits, self_values):
-    out, mx, den = _gatv2_forward(q, k, a, auxes, ids, static_args,
-                                  self_logits, self_values)
-    res = (q, k, a, auxes, ids, self_logits, self_values, out, mx, den)
+    out, mx, den, kg_flat = _gatv2_forward(
+        q, k, a, auxes, ids, static_args, self_logits, self_values,
+        return_grp=True)
+    res = (q, k, a, auxes, ids, self_logits, self_values, out, mx, den,
+           kg_flat)
     return out, res
 
 
+def _gatv2_bwd_fwd_kernel(block_rows_ref, recv_ref, q_ref, dy_ref,
+                          scal_ref, kg_ref, a_ref, dq_ref, da_ref, *,
+                          slope: float, bo: int, h_dim: int):
+    """dq and da over the FORWARD grouping — zero gathers.
+
+    Receiver operands (q, dy, [mx|den|s_n]) ride the output row block and
+    are distributed to edge slots by one-hot MXU matmuls; sender operand
+    (grouped k) is the forward residual. Per slot the kernel recomputes
+    ``raw = q[r]+k[s]``, ``act``, ``alpha`` and the logit cotangent
+    ``dlg = alpha (<k[s], dy[r]> - s_n[r])``, then accumulates
+    ``dq[r] += dlg * a * lrelu'(raw)`` back through the one-hot and
+    ``da += act^T dlg`` into a single constant-indexed block (revisited on
+    every consecutive grid step, so accumulation is valid).
+    """
+    kidx = pl.program_id(0)
+    b = block_rows_ref[kidx]
+    prev = block_rows_ref[jnp.maximum(kidx - 1, 0)]
+
+    @pl.when(jnp.logical_or(kidx == 0, b != prev))
+    def _():
+        dq_ref[:] = jnp.zeros_like(dq_ref)
+
+    @pl.when(kidx == 0)
+    def _():
+        da_ref[:] = jnp.zeros_like(da_ref)
+
+    recv = recv_ref[0]                                    # [1, BE]
+    bn = dq_ref.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bn, recv.shape[1]), 0)
+    hit = rows == recv                                    # [BN, BE]
+    one_hot = hit.astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (recv.shape[1], bn), 1)
+    oh_t = (cols == recv[0][:, None]).astype(jnp.float32)  # [BE, BN]
+    valid = (recv[0] >= 0)                                # [BE]
+    a_row = a_ref[0].astype(jnp.float32)
+    dqs, das = [], []
+    for h in range(h_dim):
+        sl = slice(h * bo, (h + 1) * bo)
+        q_slot = jax.lax.dot(oh_t, q_ref[:, sl].astype(jnp.float32),
+                             preferred_element_type=jnp.float32)
+        dy_slot = jax.lax.dot(oh_t, dy_ref[:, sl].astype(jnp.float32),
+                              preferred_element_type=jnp.float32)
+        sc_slot = jax.lax.dot(oh_t,
+                              scal_ref[:, 3 * h:3 * h + 3]
+                              .astype(jnp.float32),
+                              preferred_element_type=jnp.float32)  # [BE,3]
+        mx_s = sc_slot[:, 0]
+        den_s = jnp.maximum(sc_slot[:, 1], 1e-38)
+        sn_s = sc_slot[:, 2]
+        kg = kg_ref[:, sl].astype(jnp.float32)
+        raw = q_slot + kg                                 # [BE, bo]
+        act = jnp.where(raw >= 0, raw, slope * raw)
+        lg = jnp.sum(act * a_row[sl][None, :], axis=1)    # [BE]
+        alpha = jnp.where(valid, jnp.exp(lg - mx_s) / den_s, 0.0)
+        vdot = jnp.sum(kg * dy_slot, axis=1)
+        dlg = alpha * (vdot - sn_s)                       # [BE]
+        dsig = jnp.where(raw >= 0, 1.0, slope)
+        draw = dlg[:, None] * a_row[sl][None, :] * dsig   # [BE, bo]
+        dqs.append(jax.lax.dot(one_hot, draw,
+                               preferred_element_type=jnp.float32))
+        das.append(jax.lax.dot(dlg[None, :], act,
+                               preferred_element_type=jnp.float32))
+    dq_ref[:] += dqs[0] if h_dim == 1 else jnp.concatenate(dqs, axis=1)
+    da_ref[:] += das[0] if h_dim == 1 else jnp.concatenate(das, axis=1)
+
+
+def _gatv2_bwd_rev_kernel(block_rows_ref, recv_ref, k_ref, q_g_ref,
+                          dy_g_ref, rscal_ref, a_ref, dk_ref, *,
+                          slope: float, bo: int, h_dim: int):
+    """dk over the REVERSE grouping.
+
+    Sender operand k rides the output row block; receiver operands arrive
+    as gathered slot rows (q, dy and the packed [mx|den|s_n] scalars).
+    ``dk[s] += dlg * a * lrelu'(raw) + alpha * dy[r]`` — the logit half
+    plus the value half (values == k) in one accumulation.
+    """
+    kidx = pl.program_id(0)
+    b = block_rows_ref[kidx]
+    prev = block_rows_ref[jnp.maximum(kidx - 1, 0)]
+
+    @pl.when(jnp.logical_or(kidx == 0, b != prev))
+    def _():
+        dk_ref[:] = jnp.zeros_like(dk_ref)
+
+    recv = recv_ref[0]
+    bn = dk_ref.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bn, recv.shape[1]), 0)
+    hit = rows == recv
+    one_hot = hit.astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (recv.shape[1], bn), 1)
+    oh_t = (cols == recv[0][:, None]).astype(jnp.float32)
+    valid = (recv[0] >= 0)
+    a_row = a_ref[0].astype(jnp.float32)
+    dks = []
+    for h in range(h_dim):
+        sl = slice(h * bo, (h + 1) * bo)
+        k_slot = jax.lax.dot(oh_t, k_ref[:, sl].astype(jnp.float32),
+                             preferred_element_type=jnp.float32)
+        q_g = q_g_ref[:, sl].astype(jnp.float32)
+        dy_g = dy_g_ref[:, sl].astype(jnp.float32)
+        mx_s = rscal_ref[:, 3 * h].astype(jnp.float32)
+        den_s = jnp.maximum(rscal_ref[:, 3 * h + 1].astype(jnp.float32),
+                            1e-38)
+        sn_s = rscal_ref[:, 3 * h + 2].astype(jnp.float32)
+        raw = q_g + k_slot
+        act = jnp.where(raw >= 0, raw, slope * raw)
+        lg = jnp.sum(act * a_row[sl][None, :], axis=1)
+        alpha = jnp.where(valid, jnp.exp(lg - mx_s) / den_s, 0.0)
+        vdot = jnp.sum(k_slot * dy_g, axis=1)
+        dlg = alpha * (vdot - sn_s)
+        dsig = jnp.where(raw >= 0, 1.0, slope)
+        contrib = (dlg[:, None] * a_row[sl][None, :] * dsig
+                   + alpha[:, None] * dy_g)               # [BE, bo]
+        dks.append(jax.lax.dot(one_hot, contrib,
+                               preferred_element_type=jnp.float32))
+    dk_ref[:] += dks[0] if h_dim == 1 else jnp.concatenate(dks, axis=1)
+
+
 def _gatv2_bwd(static_args, res, dy):
-    (q, k, a, auxes, ids, self_logits, self_values, out, mx, den) = res
+    """Fused GATv2 backward: two grouped kernel sweeps (r5).
+
+    Replaces the edge-space backward (three [E,H,O] materializations, six
+    edge gathers, 3H separate scatter kernels — 775 ms at 2M/H=4) with the
+    GAT-style pair: dq+da on the forward grouping with ZERO gathers, dk on
+    the reverse grouping with three row gathers (q, dy, packed scalars).
+    """
+    (q, k, a, auxes, ids, self_logits, self_values, out, mx, den,
+     kg_flat) = res
     aux, aux_rev = auxes
-    receivers, senders, edge_mask = ids
     n_pad, n_src_pad, slope = static_args
+    slope = float(slope)
+    from .spmm import BD
     h_dim, o = q.shape[1], q.shape[2]
-    raw = gather(q, receivers) + gather(k, senders)               # [E, H, O]
-    act = jnp.where(raw >= 0, raw, slope * raw)
-    lg = jnp.einsum("ehf,fh->eh", act, a)
-    alpha_e = jnp.where(
-        edge_mask[:, None],
-        jnp.exp(jnp.where(edge_mask[:, None], lg, -jnp.inf)
-                - gather(mx, receivers)) / gather(den, receivers),
-        0.0)                                              # [E, H]
+    bo = min(max(o, 128), BD)
+    be = aux.senders_grp.shape[1]
+    interpret = _use_interpret()
 
-    # value-gradient half (values == k): reverse-grouped scatter-matmul
-    alpha_ext = jnp.concatenate(
-        [alpha_e, jnp.zeros((1, h_dim), alpha_e.dtype)])
-    dk = jnp.stack(
-        [_scatter_grouped(gather(dy[:, h, :], aux_rev.senders_grp), aux_rev,
-                          n_src_pad,
-                          w_grp=gather_1d(alpha_ext[:, h], aux_rev.edge_perm),
-                          interpret=_use_interpret())
-         for h in range(h_dim)], axis=1)                  # [N_src, H, O]
+    def _rowpad(x, rows):
+        if x.shape[0] < rows:
+            return jnp.pad(x, ((0, rows - x.shape[0]),)
+                           + ((0, 0),) * (x.ndim - 1))
+        return x
 
-    dy_e = gather(dy, receivers)                              # [E, H, O]
-    v_e = gather(k, senders)
-    s_n = jnp.sum(out * dy, -1)                           # [N, H]
-    dlg = alpha_e * (jnp.sum(v_e * dy_e, -1)
-                     - gather(s_n, receivers))                # [E, H]
-    da = jnp.einsum("ehf,eh->fh", act, dlg)
-    dsig = jnp.where(raw >= 0, 1.0, slope)
-    draw = dlg[..., None] * jnp.swapaxes(a, 0, 1)[None] * dsig  # [E, H, O]
-    draw_ext = jnp.concatenate(
-        [draw, jnp.zeros((1, h_dim, o), draw.dtype)])
-    # logit halves: dq[r] += draw_e; dk[s] += draw_e (edge-level scatters
-    # through the groupings)
-    dq = jnp.stack(
-        [_scatter_grouped(gather(draw_ext[:, h, :], aux.edge_perm), aux, n_pad,
-                          interpret=_use_interpret())
-         for h in range(h_dim)], axis=1)
-    dk = dk + jnp.stack(
-        [_scatter_grouped(gather(draw_ext[:, h, :], aux_rev.edge_perm), aux_rev,
-                          n_src_pad, interpret=_use_interpret())
-         for h in range(h_dim)], axis=1)
+    s_n = jnp.sum(out * dy, -1).astype(jnp.float32)       # [N_dst, H]
+    scal = jnp.stack([mx.astype(jnp.float32),
+                      den.astype(jnp.float32), s_n], axis=-1)  # [N,H,3]
+    scal_rows = scal.reshape(-1, h_dim * 3)
+    n_nblk_dst = -(-n_pad // BN)
+    rows_dst = n_nblk_dst * BN
+    q_flat = (_lane_pad(q, bo).reshape(-1, h_dim * bo).astype(jnp.float32))
+    dy_flat = (_lane_pad(dy.astype(jnp.float32), bo)
+               .reshape(-1, h_dim * bo))
+    a_hp = (_lane_pad(jnp.swapaxes(a, 0, 1), bo)
+            .reshape(1, h_dim * bo).astype(jnp.float32))
+
+    # ---- pass 1: dq + da on the forward grouping (zero gathers) ----
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(aux.n_eblk,),
+        in_specs=[
+            pl.BlockSpec((1, 1, be), lambda kk, br: (kk, 0, 0)),
+            pl.BlockSpec((BN, h_dim * bo), lambda kk, br: (br[kk], 0)),
+            pl.BlockSpec((BN, h_dim * bo), lambda kk, br: (br[kk], 0)),
+            pl.BlockSpec((BN, 3 * h_dim), lambda kk, br: (br[kk], 0)),
+            pl.BlockSpec((be, h_dim * bo), lambda kk, br: (kk, 0)),
+            pl.BlockSpec((1, h_dim * bo), lambda kk, br: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((BN, h_dim * bo), lambda kk, br: (br[kk], 0)),
+            pl.BlockSpec((1, h_dim * bo), lambda kk, br: (0, 0)),
+        ],
+    )
+    dq, da = pl.pallas_call(
+        functools.partial(_gatv2_bwd_fwd_kernel, slope=slope, bo=bo,
+                          h_dim=h_dim),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_dst, h_dim * bo), jnp.float32),
+            jax.ShapeDtypeStruct((1, h_dim * bo), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * aux.n_eblk * be * BN * h_dim * bo,
+            bytes_accessed=aux.n_eblk * be * h_dim * 2 * bo * 4,
+            transcendentals=h_dim * aux.n_eblk * be,
+        ),
+    )(aux.block_rows, aux.recv_local[:, None, :],
+      _rowpad(q_flat, rows_dst), _rowpad(dy_flat, rows_dst),
+      _rowpad(scal_rows, rows_dst), kg_flat, a_hp)
+    dq = dq[:n_pad].reshape(-1, h_dim, bo)[:, :, :o]
+    da = jnp.swapaxes(da.reshape(h_dim, bo)[:, :o], 0, 1)  # [O, H]
+
+    # ---- pass 2: dk on the reverse grouping (3 row gathers) ----
+    q_g = gather(q_flat, aux_rev.senders_grp).reshape(-1, h_dim * bo)
+    dy_g = gather(dy_flat, aux_rev.senders_grp).reshape(-1, h_dim * bo)
+    rscal_g = gather(scal_rows, aux_rev.senders_grp) \
+        .reshape(-1, 3 * h_dim)
+    n_nblk_src = -(-n_src_pad // BN)
+    rows_src = n_nblk_src * BN
+    k_flat = _rowpad(_lane_pad(k, bo).reshape(-1, h_dim * bo), rows_src)
+    grid_spec_r = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(aux_rev.n_eblk,),
+        in_specs=[
+            pl.BlockSpec((1, 1, be), lambda kk, br: (kk, 0, 0)),
+            pl.BlockSpec((BN, h_dim * bo), lambda kk, br: (br[kk], 0)),
+            pl.BlockSpec((be, h_dim * bo), lambda kk, br: (kk, 0)),
+            pl.BlockSpec((be, h_dim * bo), lambda kk, br: (kk, 0)),
+            pl.BlockSpec((be, 3 * h_dim), lambda kk, br: (kk, 0)),
+            pl.BlockSpec((1, h_dim * bo), lambda kk, br: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((BN, h_dim * bo), lambda kk, br: (br[kk], 0)),
+    )
+    dk = pl.pallas_call(
+        functools.partial(_gatv2_bwd_rev_kernel, slope=slope, bo=bo,
+                          h_dim=h_dim),
+        grid_spec=grid_spec_r,
+        out_shape=jax.ShapeDtypeStruct((rows_src, h_dim * bo), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * aux_rev.n_eblk * be * BN * h_dim * bo,
+            bytes_accessed=aux_rev.n_eblk * be * h_dim * 3 * bo * 4,
+            transcendentals=h_dim * aux_rev.n_eblk * be,
+        ),
+    )(aux_rev.block_rows, aux_rev.recv_local[:, None, :], k_flat, q_g,
+      dy_g, rscal_g, a_hp)
+    dk = dk[:n_src_pad].reshape(-1, h_dim, bo)[:, :, :o]
+
     if self_logits is not None:
         alpha_self = jnp.exp(self_logits - mx) / den      # [N, H]
         dsl = (alpha_self * jnp.sum(self_values * dy, -1)
