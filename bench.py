@@ -537,7 +537,9 @@ def _run_sage_device(jax, jnp, np) -> None:
             (state, opt_state, jnp.int32(0), jnp.float32(0),
              jnp.float32(0)))
 
-    rng = np.random.default_rng(3)
+    # per-run random picks: novel inputs every run (see _run_sage_epoch's
+    # seeding note — identical replayed executions don't measure honestly)
+    rng = np.random.default_rng(int.from_bytes(os.urandom(4), "little"))
     picks = rng.choice(np.asarray(seeds), (2, nb, bs), replace=True)
     seeds_warm = jnp.asarray(picks[0], jnp.int32)
     seeds_meas = jnp.asarray(picks[1], jnp.int32)
