@@ -215,7 +215,11 @@ def run_phase(phase: str) -> None:
         def run_attn(g, x):
             def body(i, x):
                 pi, pj = x @ a1, x @ a2                       # [N, 1] each
-                out = gat_attention(g, pi, pj, x[:, None, :], 0.2)[:, 0, :]
+                # pj == <values, a2>: the pj_weight hint regenerates the
+                # grouped pj from the gathered value rows — the forward
+                # pays ONE grouped gather (the GATConv no-edge-feat path)
+                out = gat_attention(g, pi, pj, x[:, None, :], 0.2,
+                                    pj_weight=a2)[:, 0, :]
                 return x * 0.9 + out * 0.01
             return jax.lax.fori_loop(0, iters, body, x)
 
@@ -237,7 +241,9 @@ def run_phase(phase: str) -> None:
             def body(i, x):
                 pi = (x @ a1.astype(jnp.bfloat16))
                 pj = (x @ a2.astype(jnp.bfloat16))
-                out = gat_attention(g, pi, pj, x[:, None, :], 0.2)[:, 0, :]
+                out = gat_attention(g, pi, pj, x[:, None, :], 0.2,
+                                    pj_weight=a2.astype(jnp.bfloat16)
+                                    )[:, 0, :]
                 return x * 0.9 + out * 0.01
             return jax.lax.fori_loop(0, iters, body, x)
 
@@ -745,10 +751,12 @@ def _headline(res: dict) -> dict:
     # costs GATHER_NS_PER_ROW per edge no matter the dtype; the byte
     # roofline alone is unreachable for gather-fed ops. Floor = descriptor
     # time of the op's irreducible gathers + minimal bytes at HBM peak.
-    #   SpMM: 1 sender-row gather.  GAT attention: 2 (pj scalars + v rows).
+    #   SpMM: 1 sender-row gather.  GAT attention: 1 (value rows; the pj
+    #   scalars are regenerated in-flight from the gathered value rows via
+    #   the pj_weight hint — r5, was 2 gathers and a 24ms fwd before).
     descr_s = GATHER_NS_PER_ROW * 1e-9 * E_LARGE
     spmm_floor = descr_s + spmm_bytes / (HBM_PEAK_GBPS * 1e9)
-    attn_floor = 2 * descr_s + attn_bytes / (HBM_PEAK_GBPS * 1e9)
+    attn_floor = descr_s + attn_bytes / (HBM_PEAK_GBPS * 1e9)
     out = {
         "metric": "spmm_propagate_copy_xj_edges_per_s",
         "value": round(rate) if rate else None,

@@ -343,7 +343,8 @@ class GATConv(GNNLayer):
                                 self_logits=self_logits,
                                 self_values=self_values,
                                 dropout_masks=masks,
-                                num_segments=Wxi.shape[0])
+                                num_segments=Wxi.shape[0],
+                                pj_weight=a[O:2 * O])
         else:
             if e is None or self.dense_e is None:
                 raise ValueError("edge features required/not configured")

@@ -130,7 +130,8 @@ def gat_attention(g: GraphTuple, pi: jax.Array, pj: jax.Array,
                   self_logits: jax.Array | None = None,
                   self_values: jax.Array | None = None,
                   dropout_masks=None,
-                  num_segments: int | None = None) -> jax.Array:
+                  num_segments: int | None = None,
+                  pj_weight: jax.Array | None = None) -> jax.Array:
     """GAT-family attention with affine logits ``leaky_relu(pi[r]+pj[s])``.
 
     On the fused path the logits are computed IN-kernel from node-level
@@ -144,6 +145,10 @@ def gat_attention(g: GraphTuple, pi: jax.Array, pj: jax.Array,
       pi/pj: [N_dst, H] / [N_src, H] receiver/sender logit projections.
       values: [N_src, H, D] sender-side node values.
       slope: leaky_relu negative slope (static).
+      pj_weight: optional [D, H] such that ``pj == <values, pj_weight>``
+        per head — lets the fused kernel regenerate grouped pj from the
+        gathered value rows and skip the second grouped gather (GATConv's
+        no-edge-feature case; see gat_attention_nodes).
       self_logits/self_values/dropout_masks/num_segments: as
         :func:`attention_aggregate`.
     """
@@ -164,7 +169,7 @@ def gat_attention(g: GraphTuple, pi: jax.Array, pj: jax.Array,
                 pi, pj, values, g.spmm_aux,
                 (g.receivers, g.senders, g.edge_mask),
                 (n, values.shape[0], float(slope)),
-                self_logits, self_values)
+                self_logits, self_values, pj_weight)
     logits = jax.nn.leaky_relu(
         gather(pi, g.receivers) + gather(pj, g.senders), slope)
     return attention_aggregate(g, logits, values, self_logits=self_logits,

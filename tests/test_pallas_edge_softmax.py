@@ -509,3 +509,37 @@ def test_gat_attention_nodes_fwd_grad_matches(with_self, heads):
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("heads", [1, 2])
+def test_gat_pj_weight_hint_matches_gathered_pj(heads):
+    """gat_attention's pj_weight recompute path (r5: grouped pj from the
+    gathered value rows, one fewer grouped gather) must equal the
+    pj-gather path, forward and gradients."""
+    from graphneuralnetworks_tpu.ops.attention import gat_attention
+    g = _graph()
+    rng = np.random.default_rng(11)
+    d = 8
+    v = jnp.asarray(rng.standard_normal((g.n_pad, heads, d)), jnp.float32)
+    a2 = jnp.asarray(rng.standard_normal((d, heads)), jnp.float32)
+    pi = jnp.asarray(rng.standard_normal((g.n_pad, heads)), jnp.float32)
+
+    def run(v, a2, use_hint):
+        pj = jnp.einsum("nhf,fh->nh", v, a2)
+        return gat_attention(g, pi, pj, v, 0.2,
+                             pj_weight=a2 if use_hint else None)
+
+    o1 = run(v, a2, True)
+    o2 = run(v, a2, False)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(v, a2, use_hint):
+        return jnp.sum(run(v, a2, use_hint) ** 2)
+
+    g1v, g1a = jax.grad(loss, argnums=(0, 1))(v, a2, True)
+    g2v, g2a = jax.grad(loss, argnums=(0, 1))(v, a2, False)
+    np.testing.assert_allclose(np.asarray(g1v), np.asarray(g2v),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g1a), np.asarray(g2a),
+                               rtol=2e-4, atol=2e-5)
