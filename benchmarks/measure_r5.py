@@ -81,6 +81,18 @@ def main():
                         return A.gat_attention(g, pi, pj, v, 0.2)
 
                     consts = (pi, pj)
+                elif kern == "gat_pw":
+                    # the GATConv layer path: pj = <values, a2>, regenerated
+                    # in-flight via the pj_weight hint (one grouped gather)
+                    pi = jnp.asarray(rng.standard_normal((g.n_pad, h)), dt)
+                    a2 = jnp.asarray(rng.standard_normal((o, h)), dt)
+
+                    def fwd_step(v, pi, a2):
+                        pj = jnp.einsum("nhf,fh->nh", v, a2)
+                        return A.gat_attention(g, pi, pj, v, 0.2,
+                                               pj_weight=a2)
+
+                    consts = (pi, a2)
                 elif kern == "gatv2":
                     a = jnp.asarray(rng.standard_normal((o, h)), dt)
                     q = jnp.asarray(rng.standard_normal((g.n_pad, h, o)), dt)
