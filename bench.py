@@ -754,9 +754,14 @@ def _headline(res: dict) -> dict:
     #   SpMM: 1 sender-row gather.  GAT attention: 1 (value rows; the pj
     #   scalars are regenerated in-flight from the gathered value rows via
     #   the pj_weight hint — r5, was 2 gathers and a 24ms fwd before).
+    # Chunking (r5 width sweep, GATHER_STUDY addendum): rows <= 384 B ride
+    # one descriptor; 512 B rows (f32 at D=128) cost two. bf16 value rows
+    # at D=128 are 256 B = one descriptor — the main bf16 win.
+    row_b = D_LARGE * fB
+    chunks = 1 if row_b <= 384 else 2
     descr_s = GATHER_NS_PER_ROW * 1e-9 * E_LARGE
-    spmm_floor = descr_s + spmm_bytes / (HBM_PEAK_GBPS * 1e9)
-    attn_floor = descr_s + attn_bytes / (HBM_PEAK_GBPS * 1e9)
+    spmm_floor = chunks * descr_s + spmm_bytes / (HBM_PEAK_GBPS * 1e9)
+    attn_floor = chunks * descr_s + attn_bytes / (HBM_PEAK_GBPS * 1e9)
     out = {
         "metric": "spmm_propagate_copy_xj_edges_per_s",
         "value": round(rate) if rate else None,
