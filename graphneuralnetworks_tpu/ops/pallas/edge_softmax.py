@@ -237,6 +237,19 @@ def _flash_reset(y_ref, m_ref, s_ref, is_first):
         s_ref[:] = jnp.zeros_like(s_ref)
 
 
+
+def _slot_extract(hit, full, fill):
+    """[BN, BE] one-hot-masked values -> [1, BE] per-slot (the hit row's).
+
+    Each slot has at most one hit row, so a masked max extracts it; dead
+    slots read ``fill``. Used to shrink softmax transcendentals from
+    [BN, BE] to [1, BE]: `exp`/`div` are the dominant VPU cost of the
+    broadcast-form kernels (r5 — the flash kernel alone measured 9.1 ms at
+    2M edges with [BN, BE] exps), while adds/selects/maxes are ~1-cycle.
+    """
+    return jnp.max(jnp.where(hit, full, fill), axis=0, keepdims=True)
+
+
 def _flash_update(hit, lg, msk, v, y_ref, m_ref, s_ref):
     """Online-softmax accumulator update for one edge block.
 
@@ -314,7 +327,10 @@ def _flash_dot_kernel(block_rows_ref, recv_ref, q_ref, k_ref, v_ref,
     m_new = jnp.maximum(m_old, jnp.max(lg_hit, axis=1))
     scale_f = jnp.where(m_new == neg, 1.0, jnp.exp(m_old - m_new))
     m_fin = jnp.where(m_new == neg, 0.0, m_new)
-    p = jnp.where(hit, jnp.exp(lg_hit - m_fin[:, None]), 0.0)
+    lg_slot = jnp.max(lg_hit, axis=0, keepdims=True)      # [1, BE]
+    m_slot = _slot_extract(hit, m_fin[:, None], neg)
+    p_slot = jnp.where(lg_slot == neg, 0.0, jnp.exp(lg_slot - m_slot))
+    p = jnp.where(hit, p_slot, 0.0)
     s_ref[0, :, 0] = s_ref[0, :, 0] * scale_f + jnp.sum(p, axis=1)
     m_ref[0, :, 0] = m_new
     y_ref[:] = (y_ref[:] * scale_f[:, None].astype(y_ref.dtype)
@@ -563,7 +579,14 @@ def _dot_bwd_dq_kernel(block_rows_ref, recv_ref, q_ref, scal_ref, dy_ref,
     mx_r = scal[:, 0][:, None]
     den_r = jnp.maximum(scal[:, 1], 1e-38)[:, None]
     sn_r = scal[:, 2][:, None]
-    alpha = jnp.where(hit, jnp.exp(lg - mx_r) / den_r, 0.0)
+    neg = jnp.asarray(-jnp.inf, jnp.float32)
+    lg_slot = _slot_extract(hit, lg, neg)                 # [1, BE]
+    mx_slot = _slot_extract(hit, jnp.broadcast_to(mx_r, lg.shape), neg)
+    den_slot = jnp.maximum(
+        _slot_extract(hit, jnp.broadcast_to(den_r, lg.shape), 0.0), 1e-38)
+    alpha_slot = jnp.where(lg_slot == neg, 0.0,
+                           jnp.exp(lg_slot - mx_slot) / den_slot)
+    alpha = jnp.where(hit, alpha_slot, 0.0)
     vdots = jax.lax.dot_general(
         dy_ref[:], v_ref[:].astype(jnp.float32),
         (((1,), (1,)), ((), ())),
@@ -612,7 +635,11 @@ def _dot_bwd_dkv_kernel(block_rows_ref, recv_ref, kv_ref, q_ref, dy_ref,
     else:
         lg = jnp.where(raw >= 0, raw, slope * raw)
         dsig = jnp.where(raw >= 0, 1.0, slope) * scale
-    alpha = jnp.where(hit, jnp.exp(lg - mx_g) / den_g, 0.0)
+    neg = jnp.asarray(-jnp.inf, jnp.float32)
+    lg_slot = _slot_extract(hit, lg, neg)                 # [1, BE]
+    alpha_slot = jnp.where(lg_slot == neg, 0.0,
+                           jnp.exp(lg_slot - mx_g) / den_g)
+    alpha = jnp.where(hit, alpha_slot, 0.0)
     dv_ref[:] += jax.lax.dot(alpha, dy_g,
                              preferred_element_type=jnp.float32)
     vdots = jax.lax.dot_general(
@@ -804,14 +831,26 @@ def _flash_gat_kernel(block_rows_ref, recv_ref, pi_ref, pj_ref, v_ref,
     pj_blk = pj_ref[:]                                    # [BE, H]
     ys, ms, ss = [], [], []
     for h in range(h_dim):
-        raw = pi_blk[:, h][:, None] + pj_blk[:, h][None, :]  # [BN, BE]
-        act = jnp.where(raw >= 0, raw, slope * raw)
-        lg_hit = jnp.where(hit, act, neg)
+        # the affine logit is rank-1, so the whole add/lrelu/exp chain runs
+        # per-SLOT ([1, BE]): pi is extracted to slot space by a masked max
+        # (each slot has one hit row) and only cheap select/max ops stay
+        # [BN, BE] — transcendentals drop BN-fold (r5; the kernel was the
+        # bottleneck once the pj gather died)
+        pi_slot = _slot_extract(hit, jnp.broadcast_to(
+            pi_blk[:, h][:, None], hit.shape), neg)       # [1, BE]
+        raw_slot = pi_slot + pj_blk[:, h][None, :]
+        act_slot = jnp.where(raw_slot >= 0, raw_slot, slope * raw_slot)
+        act_slot = jnp.where(pi_slot == neg, neg, act_slot)
+        lg_hit = jnp.where(hit, act_slot, neg)            # [BN, BE] select
         m_old = m_all[:, h]
         m_new = jnp.maximum(m_old, jnp.max(lg_hit, axis=1))
         scale = jnp.where(m_new == neg, 1.0, jnp.exp(m_old - m_new))
         m_fin = jnp.where(m_new == neg, 0.0, m_new)       # exp(-inf-(-inf))
-        p = jnp.where(hit, jnp.exp(lg_hit - m_fin[:, None]), 0.0)
+        m_slot = _slot_extract(hit, jnp.broadcast_to(
+            m_fin[:, None], hit.shape), neg)
+        p_slot = jnp.where(act_slot == neg, 0.0,
+                           jnp.exp(act_slot - m_slot))
+        p = jnp.where(hit, p_slot, 0.0)
         s_h = s_all[:, h] * scale + jnp.sum(p, axis=1)
         y_h = (y_all[:, h * bd:(h + 1) * bd]
                * scale[:, None].astype(y_all.dtype)
@@ -975,20 +1014,29 @@ def _gat_bwd_dpi_kernel(block_rows_ref, recv_ref, pi_ref, scal_ref, dy_ref,
     pj_blk = pj_ref[:]
     scal_blk = scal_ref[:]
     dpis = []
+    neg = jnp.asarray(-jnp.inf, jnp.float32)
     for h in range(h_dim):
-        raw = pi_blk[:, h][:, None] + pj_blk[:, h][None, :]  # [BN, BE]
-        act = jnp.where(raw >= 0, raw, slope * raw)
+        pi_slot = _slot_extract(hit, jnp.broadcast_to(
+            pi_blk[:, h][:, None], hit.shape), neg)       # [1, BE]
+        raw_slot = pi_slot + pj_blk[:, h][None, :]
+        act_slot = jnp.where(raw_slot >= 0, raw_slot, slope * raw_slot)
+        act_slot = jnp.where(pi_slot == neg, neg, act_slot)
         mx_r = scal_blk[:, 3 * h][:, None]
         den_r = jnp.maximum(scal_blk[:, 3 * h + 1], 1e-38)[:, None]
         sn_r = scal_blk[:, 3 * h + 2][:, None]
-        alpha = jnp.where(hit, jnp.exp(act - mx_r) / den_r, 0.0)
+        mx_slot = _slot_extract(hit, jnp.broadcast_to(mx_r, hit.shape), neg)
+        den_slot = jnp.maximum(_slot_extract(
+            hit, jnp.broadcast_to(den_r, hit.shape), 0.0), 1e-38)
+        alpha_slot = jnp.where(act_slot == neg, 0.0,
+                               jnp.exp(act_slot - mx_slot) / den_slot)
+        alpha = jnp.where(hit, alpha_slot, 0.0)
         vdots = jax.lax.dot_general(
             dy_ref[:, h * bd:(h + 1) * bd].astype(jnp.float32),
             v_ref[:, h * bd:(h + 1) * bd].astype(jnp.float32),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)           # [BN, BE]
-        dsig = jnp.where(raw >= 0, 1.0, slope)
-        dlg = alpha * (vdots - sn_r) * dsig
+        dsig_slot = jnp.where(raw_slot >= 0, 1.0, slope)  # [1, BE]
+        dlg = alpha * (vdots - sn_r) * dsig_slot
         dpis.append(jnp.sum(dlg, axis=1)[:, None])
     dpi_ref[:] += (dpis[0] if h_dim == 1
                    else jnp.concatenate(dpis, axis=1))
@@ -1022,15 +1070,21 @@ def _gat_bwd_rev_kernel(block_rows_ref, recv_ref, pj_ref, vnode_ref,
     pj_blk = pj_ref[:]
     dy_g = dy_ref[:].astype(jnp.float32)                  # [BE, H*bd]
     rscal = rscal_ref[:]
+    neg = jnp.asarray(-jnp.inf, jnp.float32)
     dpjs, dvs = [], []
     for h in range(h_dim):
         pi_g = rscal[:, 4 * h][None, :]                   # [1, BE]
         mx_g = rscal[:, 4 * h + 1][None, :]
         den_g = jnp.maximum(rscal[:, 4 * h + 2], 1e-38)[None, :]
         sn_g = rscal[:, 4 * h + 3][None, :]
-        raw = pj_blk[:, h][:, None] + pi_g                # [BN, BE]
-        act = jnp.where(raw >= 0, raw, slope * raw)
-        alpha = jnp.where(hit, jnp.exp(act - mx_g) / den_g, 0.0)
+        pj_slot = _slot_extract(hit, jnp.broadcast_to(
+            pj_blk[:, h][:, None], hit.shape), neg)       # [1, BE]
+        raw_slot = pj_slot + pi_g
+        act_slot = jnp.where(raw_slot >= 0, raw_slot, slope * raw_slot)
+        act_slot = jnp.where(pj_slot == neg, neg, act_slot)
+        alpha_slot = jnp.where(act_slot == neg, 0.0,
+                               jnp.exp(act_slot - mx_g) / den_g)
+        alpha = jnp.where(hit, alpha_slot, 0.0)
         dv_h = jax.lax.dot(alpha.astype(jnp.float32),
                            dy_g[:, h * bd:(h + 1) * bd],
                            preferred_element_type=jnp.float32)
@@ -1039,8 +1093,8 @@ def _gat_bwd_rev_kernel(block_rows_ref, recv_ref, pj_ref, vnode_ref,
             dy_g[:, h * bd:(h + 1) * bd],
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)           # [BN, BE]
-        dsig = jnp.where(raw >= 0, 1.0, slope)
-        dlg = alpha * (vdots - sn_g) * dsig
+        dsig_slot = jnp.where(raw_slot >= 0, 1.0, slope)
+        dlg = alpha * (vdots - sn_g) * dsig_slot
         dpjs.append(jnp.sum(dlg, axis=1)[:, None])
         dvs.append(dv_h)
     dpj_ref[:] += (dpjs[0] if h_dim == 1
@@ -1219,12 +1273,17 @@ def _flash_gatv2_kernel(block_rows_ref, recv_ref, q_ref, kg_ref, a_ref,
         raw = q_slot + kg_h.astype(jnp.float32)           # [BE, bo]
         act = jnp.where(raw >= 0, raw, slope * raw)
         lg = jnp.sum(act * a_row[sl][None, :], axis=1)[None, :]  # [1, BE]
-        lg_hit = jnp.where(hit & (recv >= 0), lg, neg)    # [BN, BE]
+        lg_valid = jnp.where(recv >= 0, lg, neg)          # [1, BE]
+        lg_hit = jnp.where(hit, lg_valid, neg)            # [BN, BE] select
         m_old = m_all[:, h]
         m_new = jnp.maximum(m_old, jnp.max(lg_hit, axis=1))
         scale = jnp.where(m_new == neg, 1.0, jnp.exp(m_old - m_new))
         m_fin = jnp.where(m_new == neg, 0.0, m_new)
-        p = jnp.where(hit, jnp.exp(lg_hit - m_fin[:, None]), 0.0)
+        m_slot = _slot_extract(hit, jnp.broadcast_to(
+            m_fin[:, None], hit.shape), neg)
+        p_slot = jnp.where(lg_valid == neg, 0.0,
+                           jnp.exp(lg_valid - m_slot))
+        p = jnp.where(hit, p_slot, 0.0)
         s_h = s_all[:, h] * scale + jnp.sum(p, axis=1)
         y_h = (y_all[:, sl] * scale[:, None].astype(y_all.dtype)
                + jax.lax.dot(p.astype(kg_h.dtype), kg_h,
