@@ -1043,7 +1043,7 @@ def _gat_bwd_dpi_kernel(block_rows_ref, recv_ref, pi_ref, scal_ref, dy_ref,
 
 
 def _gat_bwd_rev_kernel(block_rows_ref, recv_ref, pj_ref, vnode_ref,
-                        dy_ref, rscal_ref, dpj_ref, dv_ref, *, slope: float,
+                        pack_ref, dpj_ref, dv_ref, *, slope: float,
                         bd: int, h_dim: int):
     """dpj and dv over the REVERSE grouping.
 
@@ -1068,15 +1068,17 @@ def _gat_bwd_rev_kernel(block_rows_ref, recv_ref, pj_ref, vnode_ref,
     # [BN, BE]-shaped like the dpi kernel: sender operands (pj, v) ride the
     # rows, receiver operands arrive as gathered per-slot vectors
     pj_blk = pj_ref[:]
-    dy_g = dy_ref[:].astype(jnp.float32)                  # [BE, H*bd]
-    rscal = rscal_ref[:]
+    # one packed gathered row: [dy (H*bd) | 8-lane scalar block per head]
+    Q = h_dim * bd
+    dy_g = pack_ref[:, :Q].astype(jnp.float32)            # [BE, H*bd]
+    rscal = pack_ref[:, Q:]
     neg = jnp.asarray(-jnp.inf, jnp.float32)
     dpjs, dvs = [], []
     for h in range(h_dim):
-        pi_g = rscal[:, 4 * h][None, :]                   # [1, BE]
-        mx_g = rscal[:, 4 * h + 1][None, :]
-        den_g = jnp.maximum(rscal[:, 4 * h + 2], 1e-38)[None, :]
-        sn_g = rscal[:, 4 * h + 3][None, :]
+        pi_g = rscal[:, 8 * h][None, :]                   # [1, BE]
+        mx_g = rscal[:, 8 * h + 1][None, :]
+        den_g = jnp.maximum(rscal[:, 8 * h + 2], 1e-38)[None, :]
+        sn_g = rscal[:, 8 * h + 3][None, :]
         pj_slot = _slot_extract(hit, jnp.broadcast_to(
             pj_blk[:, h][:, None], hit.shape), neg)       # [1, BE]
         raw_slot = pj_slot + pi_g
@@ -1163,12 +1165,16 @@ def _gat_bwd(static_args, res, dy):
       dy_flat, pj_grp, v_grp)
     dpi = dpi[:n_pad]
 
-    # ---- dpj, dv: reverse grouping, dy rows + one packed scalar row ----
-    rscal = jnp.concatenate([pi.astype(jnp.float32)[..., None], scal],
-                            axis=-1)                      # [N_dst, H, 4]
-    rscal_flat = rscal.reshape(-1, h_dim * 4)
-    dy_g = gather(dy_flat, aux_rev.senders_grp).reshape(-1, h_dim * bd)
-    rscal_g = gather(rscal_flat, aux_rev.senders_grp).reshape(-1, 4 * h_dim)
+    # ---- dpj, dv: reverse grouping — ONE packed row gather
+    # ([dy | per-head 8-lane (pi, mx, den, s_n)]: a 528B+ row costs ~5.5-7
+    # ns where dy + scal separately cost ~8.1, GATHER_STUDY r5 addendum)
+    rscal = jnp.concatenate(
+        [pi.astype(jnp.float32)[..., None], scal,
+         jnp.zeros(scal.shape[:-1] + (4,), jnp.float32)],
+        axis=-1)                                          # [N_dst, H, 8]
+    pack = jnp.concatenate([dy_flat[:pi.shape[0]],
+                            rscal.reshape(-1, h_dim * 8)], axis=1)
+    pack_g = gather(pack, aux_rev.senders_grp).reshape(-1, pack.shape[1])
     n_nblk_src = -(-n_src_pad // BN)
     rows_src = n_nblk_src * BN
     pj_pad = _rowpad(pj.astype(jnp.float32), rows_src)
@@ -1181,8 +1187,7 @@ def _gat_bwd(static_args, res, dy):
             pl.BlockSpec((1, 1, be), lambda k, br: (k, 0, 0)),
             pl.BlockSpec((BN, h_dim), lambda k, br: (br[k], 0)),
             pl.BlockSpec((BN, h_dim * bd), lambda k, br: (br[k], 0)),
-            pl.BlockSpec((be, h_dim * bd), lambda k, br: (k, 0)),
-            pl.BlockSpec((be, 4 * h_dim), lambda k, br: (k, 0)),
+            pl.BlockSpec((be, pack.shape[1]), lambda k, br: (k, 0)),
         ],
         out_specs=[
             pl.BlockSpec((BN, h_dim), lambda k, br: (br[k], 0)),
@@ -1204,7 +1209,7 @@ def _gat_bwd(static_args, res, dy):
             transcendentals=h_dim * aux_rev.n_eblk * be,
         ),
     )(aux_rev.block_rows, aux_rev.recv_local[:, None, :], pj_pad, v_flat,
-      dy_g, rscal_g)
+      pack_g)
     dpj = dpj[:n_src_pad]
     dv = dv[:n_src_pad].reshape(-1, h_dim, bd)[:, :, :d]
 
@@ -1456,15 +1461,18 @@ def _gatv2_bwd_fwd_kernel(block_rows_ref, recv_ref, q_ref, dy_ref,
     da_ref[:] += das[0] if h_dim == 1 else jnp.concatenate(das, axis=1)
 
 
-def _gatv2_bwd_rev_kernel(block_rows_ref, recv_ref, k_ref, q_g_ref,
-                          dy_g_ref, rscal_ref, a_ref, dk_ref, *,
+def _gatv2_bwd_rev_kernel(block_rows_ref, recv_ref, k_ref, pack_ref,
+                          a_ref, dk_ref, *,
                           slope: float, bo: int, h_dim: int):
     """dk over the REVERSE grouping.
 
     Sender operand k rides the output row block; receiver operands arrive
-    as gathered slot rows (q, dy and the packed [mx|den|s_n] scalars).
-    ``dk[s] += dlg * a * lrelu'(raw) + alpha * dy[r]`` — the logit half
-    plus the value half (values == k) in one accumulation.
+    as ONE packed gathered row ``[q (H*bo) | dy (H*bo) | 8-lane scalar
+    block per head (mx, den, s_n)]`` — a single ~1KB-row gather costs
+    ~7 ns/row where three separate gathers cost ~13.4 (r5 width sweep,
+    GATHER_STUDY addendum). ``dk[s] += dlg * a * lrelu'(raw) + alpha *
+    dy[r]`` — the logit half plus the value half (values == k) in one
+    accumulation.
     """
     kidx = pl.program_id(0)
     b = block_rows_ref[kidx]
@@ -1484,16 +1492,17 @@ def _gatv2_bwd_rev_kernel(block_rows_ref, recv_ref, k_ref, q_g_ref,
     valid = (recv[0] >= 0)
     a_row = a_ref[0].astype(jnp.float32)
     dks = []
+    Q = h_dim * bo
     for h in range(h_dim):
         sl = slice(h * bo, (h + 1) * bo)
         k_slot = jax.lax.dot(oh_t, k_ref[:, sl].astype(jnp.float32),
                              preferred_element_type=jnp.float32)
-        q_g = q_g_ref[:, sl].astype(jnp.float32)
-        dy_g = dy_g_ref[:, sl].astype(jnp.float32)
-        mx_s = rscal_ref[:, 3 * h].astype(jnp.float32)
-        den_s = jnp.maximum(rscal_ref[:, 3 * h + 1].astype(jnp.float32),
-                            1e-38)
-        sn_s = rscal_ref[:, 3 * h + 2].astype(jnp.float32)
+        q_g = pack_ref[:, h * bo:(h + 1) * bo].astype(jnp.float32)
+        dy_g = pack_ref[:, Q + h * bo:Q + (h + 1) * bo].astype(jnp.float32)
+        mx_s = pack_ref[:, 2 * Q + 8 * h].astype(jnp.float32)
+        den_s = jnp.maximum(
+            pack_ref[:, 2 * Q + 8 * h + 1].astype(jnp.float32), 1e-38)
+        sn_s = pack_ref[:, 2 * Q + 8 * h + 2].astype(jnp.float32)
         raw = q_g + k_slot
         act = jnp.where(raw >= 0, raw, slope * raw)
         lg = jnp.sum(act * a_row[sl][None, :], axis=1)
@@ -1582,11 +1591,17 @@ def _gatv2_bwd(static_args, res, dy):
     dq = dq[:n_pad].reshape(-1, h_dim, bo)[:, :, :o]
     da = jnp.swapaxes(da.reshape(h_dim, bo)[:, :o], 0, 1)  # [O, H]
 
-    # ---- pass 2: dk on the reverse grouping (3 row gathers) ----
-    q_g = gather(q_flat, aux_rev.senders_grp).reshape(-1, h_dim * bo)
-    dy_g = gather(dy_flat, aux_rev.senders_grp).reshape(-1, h_dim * bo)
-    rscal_g = gather(scal_rows, aux_rev.senders_grp) \
-        .reshape(-1, 3 * h_dim)
+    # ---- pass 2: dk on the reverse grouping — ONE packed row gather
+    # ([q | dy | per-head 8-lane scalars]; a ~1KB-row gather costs ~7
+    # ns/row vs ~13.4 for three separate ones, GATHER_STUDY r5 addendum).
+    # Requires 128-aligned head segments; bo is always >= 128 here and the
+    # common cases (o <= 128, or o a lane multiple) keep Q % 128 == 0.
+    scal8 = jnp.concatenate(
+        [scal, jnp.zeros(scal.shape[:-1] + (5,), scal.dtype)], axis=-1)
+    pack = jnp.concatenate(
+        [q_flat, dy_flat, scal8.reshape(-1, h_dim * 8)], axis=1)
+    pack_g = gather(pack, aux_rev.senders_grp) \
+        .reshape(-1, pack.shape[1])
     n_nblk_src = -(-n_src_pad // BN)
     rows_src = n_nblk_src * BN
     k_flat = _rowpad(_lane_pad(k, bo).reshape(-1, h_dim * bo), rows_src)
@@ -1596,9 +1611,7 @@ def _gatv2_bwd(static_args, res, dy):
         in_specs=[
             pl.BlockSpec((1, 1, be), lambda kk, br: (kk, 0, 0)),
             pl.BlockSpec((BN, h_dim * bo), lambda kk, br: (br[kk], 0)),
-            pl.BlockSpec((be, h_dim * bo), lambda kk, br: (kk, 0)),
-            pl.BlockSpec((be, h_dim * bo), lambda kk, br: (kk, 0)),
-            pl.BlockSpec((be, 3 * h_dim), lambda kk, br: (kk, 0)),
+            pl.BlockSpec((be, pack.shape[1]), lambda kk, br: (kk, 0)),
             pl.BlockSpec((1, h_dim * bo), lambda kk, br: (0, 0)),
         ],
         out_specs=pl.BlockSpec((BN, h_dim * bo), lambda kk, br: (br[kk], 0)),
@@ -1614,8 +1627,8 @@ def _gatv2_bwd(static_args, res, dy):
             bytes_accessed=aux_rev.n_eblk * be * h_dim * 3 * bo * 4,
             transcendentals=h_dim * aux_rev.n_eblk * be,
         ),
-    )(aux_rev.block_rows, aux_rev.recv_local[:, None, :], k_flat, q_g,
-      dy_g, rscal_g, a_hp)
+    )(aux_rev.block_rows, aux_rev.recv_local[:, None, :], k_flat, pack_g,
+      a_hp)
     dk = dk[:n_src_pad].reshape(-1, h_dim, bo)[:, :, :o]
 
     if self_logits is not None:
