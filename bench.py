@@ -754,14 +754,15 @@ def _headline(res: dict) -> dict:
     #   SpMM: 1 sender-row gather.  GAT attention: 1 (value rows; the pj
     #   scalars are regenerated in-flight from the gathered value rows via
     #   the pj_weight hint — r5, was 2 gathers and a 24ms fwd before).
-    # Chunking (r5 width sweep, GATHER_STUDY addendum): rows <= 384 B ride
-    # one descriptor; 512 B rows (f32 at D=128) cost two. bf16 value rows
-    # at D=128 are 256 B = one descriptor — the main bf16 win.
-    row_b = D_LARGE * fB
-    chunks = 1 if row_b <= 384 else 2
+    # Row-width caveat (r5 width sweep, GATHER_STUDY addendum): RANDOM
+    # flat-index gathers pay two descriptors at 512 B rows, but the
+    # kernels' grouped gathers (block-sorted indices) sustain the
+    # 1-descriptor rate there — measured SpMM 6.36 ms vs the 6.85 ms
+    # 1-descriptor floor, GATv2 fwd 10.7 ms vs 9.1 — so the floor stays
+    # 1 descriptor per row (a true lower bound for both index patterns).
     descr_s = GATHER_NS_PER_ROW * 1e-9 * E_LARGE
-    spmm_floor = chunks * descr_s + spmm_bytes / (HBM_PEAK_GBPS * 1e9)
-    attn_floor = chunks * descr_s + attn_bytes / (HBM_PEAK_GBPS * 1e9)
+    spmm_floor = descr_s + spmm_bytes / (HBM_PEAK_GBPS * 1e9)
+    attn_floor = descr_s + attn_bytes / (HBM_PEAK_GBPS * 1e9)
     out = {
         "metric": "spmm_propagate_copy_xj_edges_per_s",
         "value": round(rate) if rate else None,
