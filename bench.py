@@ -546,9 +546,10 @@ def _run_sage_device(jax, jnp, np) -> None:
     # per-run random picks: novel inputs every run (see _run_sage_epoch's
     # seeding note — identical replayed executions don't measure honestly)
     rng = np.random.default_rng(int.from_bytes(os.urandom(4), "little"))
-    picks = rng.choice(np.asarray(seeds), (2, nb, bs), replace=True)
+    picks = rng.choice(np.asarray(seeds), (3, nb, bs), replace=True)
     seeds_warm = jnp.asarray(picks[0], jnp.int32)
-    seeds_meas = jnp.asarray(picks[1], jnp.int32)
+    seeds_meas = [jnp.asarray(picks[1], jnp.int32),
+                  jnp.asarray(picks[2], jnp.int32)]
     emit({"sage_dev_setup_s": round(time.perf_counter() - t_setup, 2),
           "sage_dev_blocks": use_blocks, "real_data": bool(is_real)})
 
@@ -558,11 +559,18 @@ def _run_sage_device(jax, jnp, np) -> None:
     warm_loss = float(loss_sum) / nb
     emit({"sage_dev_compile_s": round(time.perf_counter() - t_c, 2)})
 
-    t0 = time.perf_counter()
-    state, opt_state, nvalid, loss_sum, acc_sum = run_epoch(
-        state, opt_state, sampler, jax.random.key(8), seeds_meas, X, y)
-    lv, ev_count = float(loss_sum) / nb, int(nvalid)    # fetch = done
-    wall = time.perf_counter() - t0
+    # two measured epochs on novel picks, best kept: the tunnel's dispatch
+    # latency swings ~2x between identical runs (r5: 12.5 vs 24.3 ms/batch)
+    walls, evs = [], []
+    for j, sm in enumerate(seeds_meas):
+        t0 = time.perf_counter()
+        state, opt_state, nvalid, loss_sum, acc_sum = run_epoch(
+            state, opt_state, sampler, jax.random.key(8 + j), sm, X, y)
+        lv, ev_count = float(loss_sum) / nb, int(nvalid)  # fetch = done
+        walls.append(time.perf_counter() - t0)
+        evs.append(ev_count)
+    best = min(range(len(walls)), key=lambda j: walls[j])
+    wall, ev_count = walls[best], evs[best]
     per_batch = wall / nb
     acc = float(acc_sum) / nb
     # the target is learnable (class-prototype features, or the real
@@ -571,6 +579,7 @@ def _run_sage_device(jax, jnp, np) -> None:
     emit({
         "sage_dev_epoch_s": round(per_batch * n_batches_epoch, 2),
         "sage_dev_batch_ms": round(per_batch * 1e3, 2),
+        "sage_dev_batch_ms_epochs": [round(w / nb * 1e3, 2) for w in walls],
         "sage_dev_sampled_edges_per_s": round(ev_count / wall),
         "sage_dev_loss_warm": round(warm_loss, 4),
         "sage_dev_loss": round(lv, 4),
