@@ -42,6 +42,15 @@ def factories(d, rngs):
     mk = {}
     mk["GCNConv"] = M.GCNConv(d, d, rngs=rngs)
     mk["ChebConv"] = M.ChebConv(d, d, 3, rngs=rngs)
+
+    class _ChebLam2(M.ChebConv):
+        # the production configuration: fixed lambda_max=2.0 (the common
+        # approximation) skips the per-call sparse power iteration that
+        # dominates the default row (~50 SpMMs for the eigmax)
+        def __call__(self, g, x=None):
+            return super().__call__(g, x, lambda_max=2.0)
+
+    mk["ChebConv_lam2"] = _ChebLam2(d, d, 3, rngs=rngs)
     mk["GraphConv"] = M.GraphConv(d, d, rngs=rngs)
     mk["GATConv_h4"] = M.GATConv(d, d // 4, heads=4, rngs=rngs)
     mk["GATv2Conv_h4"] = M.GATv2Conv(d, d // 4, heads=4, rngs=rngs)

@@ -200,6 +200,60 @@ class GCNConv(GNNLayer):
         return self.act(out) if self.act is not None else out
 
 
+def _scaled_laplacian_apply(g: GraphTuple, dtype, lambda_max=None,
+                            power_iters: int = 50):
+    """Matrix-free ``v -> (2 L / lambda_max - I) v`` for Chebyshev layers.
+
+    ``L = I - D^-1/2 A D^-1/2`` acting through ``propagate`` (one SpMM per
+    application; rides the Pallas kernel when the graph carries spmm_aux).
+    ``lambda_max=None`` runs a sparse per-graph power iteration (the
+    query.scaled_laplacian semantics, query.jl:474-487, without the dense
+    matrix). Bidirected graphs assumed (in-degree == out-degree).
+    """
+    from .. import ops as _ops
+
+    w_e = (g.edge_weight.astype(dtype) if g.edge_weight is not None
+           else jnp.ones((g.e_pad,), dtype))
+    w_e = jnp.where(g.edge_mask, w_e, 0)
+    deg = _ops.segment_sum(w_e[:, None], g.receivers, g.n_pad)[:, 0]
+    d_isqrt = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0)
+    n_mask = g.node_mask.astype(dtype)
+
+    def lap(v):                                   # [N_pad, C] -> [N_pad, C]
+        av = _ops.propagate(_ops.w_mul_xj, g, "sum",
+                            xj=v * d_isqrt[:, None], e=w_e)
+        return n_mask[:, None] * v - d_isqrt[:, None] * av
+
+    if lambda_max is None:
+        # per-graph blocked power iteration, matrix-free (one column per
+        # graph in the batch, masked to its own block)
+        ng = g.g_pad
+        sel = ((g.node_graph_id[:, None]
+                == jnp.arange(ng, dtype=jnp.int32)[None])
+               & g.node_mask[:, None]).astype(dtype)      # [N_pad, G]
+        v0 = jax.random.normal(jax.random.key(20240607), (g.n_pad, ng),
+                               dtype) * sel
+
+        def body(_, v):
+            w = lap(v) * sel
+            return w / jnp.maximum(
+                jnp.linalg.norm(w, axis=0, keepdims=True), 1e-12)
+
+        v = jax.lax.fori_loop(0, power_iters, body, v0)
+        lam = jnp.sum(v * lap(v), axis=0)                 # [G_pad]
+        lam_node = lam[g.node_graph_id]
+    else:
+        lam = jnp.asarray(lambda_max, dtype)
+        lam_node = (lam[g.node_graph_id] if lam.ndim == 1
+                    else jnp.broadcast_to(lam, (g.n_pad,)))
+    s_node = 2.0 / jnp.maximum(lam_node, 1e-12)
+
+    def lhat(v):
+        return s_node[:, None] * lap(v) - n_mask[:, None] * v
+
+    return lhat
+
+
 class ChebConv(GNNLayer):
     """Chebyshev spectral convolution.
 
@@ -215,11 +269,30 @@ class ChebConv(GNNLayer):
         self.bias = _bias((out_features,)) if use_bias else None
         self.k = k
 
-    def __call__(self, g: GraphTuple, x=None):
+    def __call__(self, g: GraphTuple, x=None, *, lambda_max=None):
         if x is None:
             x = g.x
-        L = scaled_laplacian(g, dtype=x.dtype)
         W = self.weight[...]
+        if lambda_max is not None or g.n_pad > 2048:
+            # sparse path (r5): the scaled-Laplacian ACTION via message
+            # passing — never materializes L (the dense path is >8GB and
+            # overflows its scatter index past 46341 nodes; ZOO_SWEEP_r5
+            # caught ChebConv failing at production scale). Assumes a
+            # bidirected graph (the spectral setting; reference graphs
+            # are symmetrized on construction). ``lambda_max``: optional
+            # scalar / per-graph [G_pad] override (e.g. the common 2.0)
+            # skipping the per-call sparse power iteration.
+            Lhat = _scaled_laplacian_apply(g, x.dtype, lambda_max)
+            z_prev = x
+            z = Lhat(x)
+            y = z_prev @ W[0]
+            if self.k > 1:
+                y = y + z @ W[1]
+            for k in range(2, self.k):
+                z, z_prev = 2.0 * Lhat(z) - z_prev, z
+                y = y + z @ W[k]
+            return y + self.bias[...] if self.bias is not None else y
+        L = scaled_laplacian(g, dtype=x.dtype)
         z_prev = x
         z = L @ x
         y = z_prev @ W[0]

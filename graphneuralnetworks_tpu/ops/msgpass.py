@@ -163,6 +163,20 @@ def propagate(f: Callable, g: GraphTuple, aggr, *, xi=None, xj=None, e=None):
     otherwise they lower to a receiver-sorted gather + segment_sum that XLA
     fuses.
     """
+    if (g.spmm_aux is not None and aggr == "mean"
+            and xj is not None and not isinstance(xj, Mapping)
+            and xj.ndim == 2 and f in (copy_xj, w_mul_xj, e_mul_xj)
+            and (e is None or getattr(e, "ndim", None) == 1)):
+        # mean rides the same Pallas sum kernel: sum / true valid-edge
+        # count (aggregate_neighbors' mean divides by segment SIZE, not
+        # weight mass — GNNlib msgpass.jl:145-149 / NNlib scatter mean).
+        # Without this, SAGEConv's mean fell back to the XLA gather path:
+        # 42.4 -> ~12 ms fwd at 2M edges (ZOO_SWEEP_r5).
+        y = propagate(f, g, "sum", xi=xi, xj=xj, e=e)
+        from .segment import segment_sum as _ssum
+        deg = _ssum(g.edge_mask.astype(y.dtype)[:, None], g.receivers,
+                    g.n_pad)[:, 0]
+        return y / jnp.maximum(deg, 1)[:, None]
     if (g.spmm_aux is not None and aggr in ("sum", "add", "+")
             and xj is not None and not isinstance(xj, Mapping)
             and xj.ndim == 2):

@@ -375,3 +375,26 @@ def test_pooling(test_graphs, rngs):
         np.testing.assert_array_equal(np.asarray(idxb)[b], expect)
         np.testing.assert_allclose(np.asarray(valsb)[b], yn[expect],
                                    rtol=1e-6)
+
+
+def test_chebconv_sparse_matches_dense(rngs):
+    """The matrix-free scaled-Laplacian path (r5 — the dense path is
+    small-graph-only and ZOO_SWEEP_r5 caught ChebConv failing at 131k
+    nodes) must equal the dense path, single and batched."""
+    g = gnn.rand_graph(200, 800, seed=4, bidirected=True)
+    x = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (g.n_pad, IN)), jnp.float32)
+    layer = M.ChebConv(IN, OUT, 3, rngs=rngs())
+    y_dense = layer(g, x)
+    lam = gnn.laplacian_lambda_max(g)
+    y_sparse = layer(g, x, lambda_max=lam)
+    np.testing.assert_allclose(np.asarray(y_dense), np.asarray(y_sparse),
+                               rtol=2e-4, atol=2e-4)
+    gb = gnn.batch([gnn.rand_graph(40, 160, seed=i, bidirected=True)
+                    for i in range(3)])
+    xb = jnp.asarray(np.random.default_rng(6).standard_normal(
+        (gb.n_pad, IN)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(layer(gb, xb)),
+        np.asarray(layer(gb, xb, lambda_max=gnn.laplacian_lambda_max(gb))),
+        rtol=2e-4, atol=2e-4)
