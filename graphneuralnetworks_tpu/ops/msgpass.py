@@ -30,6 +30,9 @@ import jax.numpy as jnp
 from ..graph import GraphTuple
 from .segment import gather, segment_reduce
 
+# kernel-mean dispatch threshold (see the mean branch in propagate)
+_MEAN_KERNEL_MIN_EDGES = 500_000
+
 __all__ = [
     "apply_edges",
     "aggregate_neighbors",
@@ -164,6 +167,7 @@ def propagate(f: Callable, g: GraphTuple, aggr, *, xi=None, xj=None, e=None):
     fuses.
     """
     if (g.spmm_aux is not None and aggr == "mean"
+            and g.e_pad >= _MEAN_KERNEL_MIN_EDGES
             and xj is not None and not isinstance(xj, Mapping)
             and xj.ndim == 2 and f in (copy_xj, w_mul_xj, e_mul_xj)
             and (e is None or getattr(e, "ndim", None) == 1)):
@@ -171,7 +175,10 @@ def propagate(f: Callable, g: GraphTuple, aggr, *, xi=None, xj=None, e=None):
         # count (aggregate_neighbors' mean divides by segment SIZE, not
         # weight mass — GNNlib msgpass.jl:145-149 / NNlib scatter mean).
         # Without this, SAGEConv's mean fell back to the XLA gather path:
-        # 42.4 -> ~12 ms fwd at 2M edges (ZOO_SWEEP_r5).
+        # 42.4 -> ~9.8 ms fwd at 2M edges (ZOO_SWEEP_r5). Size-gated: at
+        # minibatch scale (~170k edges, device-sampled SAGE) the extra
+        # degree pass costs more than the kernel saves (12.5 -> 16.7
+        # ms/batch measured), so small graphs keep the XLA path.
         y = propagate(f, g, "sum", xi=xi, xj=xj, e=e)
         from .segment import segment_sum as _ssum
         deg = _ssum(g.edge_mask.astype(y.dtype)[:, None], g.receivers,

@@ -149,17 +149,22 @@ def test_propagate_mean_dispatches_to_kernel():
     """aggr="mean" rides the Pallas sum kernel / true-count divide (r5:
     SAGEConv's mean previously fell back to the XLA gather path, 42 -> ~12
     ms fwd at 2M edges). Must equal the fallback, forward and gradient."""
+    from graphneuralnetworks_tpu.ops import msgpass as _mp
     g = _graph(n=150, e=600)
     rng = np.random.default_rng(9)
     x = jnp.asarray(rng.standard_normal((g.n_pad, 12)), jnp.float32)
     gx = g.replace(spmm_aux=None)
+    _mp._MEAN_KERNEL_MIN_EDGES, saved = 0, _mp._MEAN_KERNEL_MIN_EDGES
     y1 = ops.propagate(ops.copy_xj, g, "mean", xj=x)
     y2 = ops.propagate(ops.copy_xj, gx, "mean", xj=x)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
                                rtol=1e-5, atol=1e-5)
-    g1 = jax.grad(lambda x: jnp.sum(
-        ops.propagate(ops.copy_xj, g, "mean", xj=x) ** 2))(x)
-    g2 = jax.grad(lambda x: jnp.sum(
-        ops.propagate(ops.copy_xj, gx, "mean", xj=x) ** 2))(x)
+    try:
+        g1 = jax.grad(lambda x: jnp.sum(
+            ops.propagate(ops.copy_xj, g, "mean", xj=x) ** 2))(x)
+        g2 = jax.grad(lambda x: jnp.sum(
+            ops.propagate(ops.copy_xj, gx, "mean", xj=x) ** 2))(x)
+    finally:
+        _mp._MEAN_KERNEL_MIN_EDGES = saved
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-4, atol=1e-5)
