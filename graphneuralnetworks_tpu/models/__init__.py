@@ -1,7 +1,8 @@
 """Layer zoo: basics, conv, pooling, temporal, hetero (flax.nnx modules)."""
 
 from .basic import (GNNLayer, GNNChain, WithGraph, DotDecoder, Precision)
-from .conv import (GCNConv, ChebConv, GraphConv, GATConv, GATv2Conv,
+from .conv import (GCNConv, ChebConv, cheb_lambda_max, GraphConv,
+                   GATConv, GATv2Conv,
                    GatedGraphConv, EdgeConv, GINConv, NNConv, SAGEConv,
                    ResGatedGraphConv, CGConv, AGNNConv, MEGNetConv, GMMConv,
                    SGConv, TAGConv, EGNNConv, TransformerConv, DConv, MLP)
@@ -14,7 +15,7 @@ from .temporalconv import (GNNRecurrence, GConvGRUCell, GConvLSTMCell,
 
 __all__ = [
     "GNNLayer", "GNNChain", "WithGraph", "DotDecoder", "Precision",
-    "GCNConv", "ChebConv", "GraphConv", "GATConv", "GATv2Conv",
+    "GCNConv", "ChebConv", "cheb_lambda_max", "GraphConv", "GATConv", "GATv2Conv",
     "GatedGraphConv", "EdgeConv", "GINConv", "NNConv", "SAGEConv",
     "ResGatedGraphConv", "CGConv", "AGNNConv", "MEGNetConv", "GMMConv",
     "SGConv", "TAGConv", "EGNNConv", "TransformerConv", "DConv", "MLP",

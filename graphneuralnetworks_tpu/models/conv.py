@@ -200,16 +200,10 @@ class GCNConv(GNNLayer):
         return self.act(out) if self.act is not None else out
 
 
-def _scaled_laplacian_apply(g: GraphTuple, dtype, lambda_max=None,
-                            power_iters: int = 50):
-    """Matrix-free ``v -> (2 L / lambda_max - I) v`` for Chebyshev layers.
-
-    ``L = I - D^-1/2 A D^-1/2`` acting through ``propagate`` (one SpMM per
-    application; rides the Pallas kernel when the graph carries spmm_aux).
-    ``lambda_max=None`` runs a sparse per-graph power iteration (the
-    query.scaled_laplacian semantics, query.jl:474-487, without the dense
-    matrix). Bidirected graphs assumed (in-degree == out-degree).
-    """
+def _lap_operator(g: GraphTuple, dtype):
+    """Matrix-free normalized-Laplacian action ``v -> (I - D^-1/2 A D^-1/2) v``
+    through ``propagate`` (one SpMM per application; rides the Pallas kernel
+    when the graph carries spmm_aux). Bidirected graphs assumed."""
     from .. import ops as _ops
 
     w_e = (g.edge_weight.astype(dtype) if g.edge_weight is not None
@@ -224,23 +218,47 @@ def _scaled_laplacian_apply(g: GraphTuple, dtype, lambda_max=None,
                             xj=v * d_isqrt[:, None], e=w_e)
         return n_mask[:, None] * v - d_isqrt[:, None] * av
 
+    return lap, n_mask
+
+
+def cheb_lambda_max(g: GraphTuple, dtype=jnp.float32,
+                    power_iters: int = 50) -> jax.Array:
+    """Per-graph normalized-Laplacian λ_max, matrix-free ([G_pad]).
+
+    Sparse per-graph blocked power iteration (the query.scaled_laplacian
+    semantics, query.jl:474-487, without the dense matrix). Pass the result
+    as ``ChebConv(..., lambda_max=...)`` — the ChebConv-based recurrent
+    cells do this so the eigmax is computed ONCE per step instead of once
+    per internal conv (GConvGRU at 65k nodes: 2517 -> ~110 ms/8-step scan,
+    HETERO_TEMPORAL_r5).
+    """
+    lap, _ = _lap_operator(g, dtype)
+    ng = g.g_pad
+    sel = ((g.node_graph_id[:, None]
+            == jnp.arange(ng, dtype=jnp.int32)[None])
+           & g.node_mask[:, None]).astype(dtype)          # [N_pad, G]
+    v0 = jax.random.normal(jax.random.key(20240607), (g.n_pad, ng),
+                           dtype) * sel
+
+    def body(_, v):
+        w = lap(v) * sel
+        return w / jnp.maximum(
+            jnp.linalg.norm(w, axis=0, keepdims=True), 1e-12)
+
+    v = jax.lax.fori_loop(0, power_iters, body, v0)
+    return jnp.sum(v * lap(v), axis=0)                    # [G_pad]
+
+
+def _scaled_laplacian_apply(g: GraphTuple, dtype, lambda_max=None,
+                            power_iters: int = 50):
+    """Matrix-free ``v -> (2 L / lambda_max - I) v`` for Chebyshev layers.
+
+    ``lambda_max=None`` runs :func:`cheb_lambda_max`; a scalar or per-graph
+    [G_pad] array skips it.
+    """
+    lap, n_mask = _lap_operator(g, dtype)
     if lambda_max is None:
-        # per-graph blocked power iteration, matrix-free (one column per
-        # graph in the batch, masked to its own block)
-        ng = g.g_pad
-        sel = ((g.node_graph_id[:, None]
-                == jnp.arange(ng, dtype=jnp.int32)[None])
-               & g.node_mask[:, None]).astype(dtype)      # [N_pad, G]
-        v0 = jax.random.normal(jax.random.key(20240607), (g.n_pad, ng),
-                               dtype) * sel
-
-        def body(_, v):
-            w = lap(v) * sel
-            return w / jnp.maximum(
-                jnp.linalg.norm(w, axis=0, keepdims=True), 1e-12)
-
-        v = jax.lax.fori_loop(0, power_iters, body, v0)
-        lam = jnp.sum(v * lap(v), axis=0)                 # [G_pad]
+        lam = cheb_lambda_max(g, dtype, power_iters)
         lam_node = lam[g.node_graph_id]
     else:
         lam = jnp.asarray(lambda_max, dtype)

@@ -22,7 +22,7 @@ from flax import nnx
 from ..graph import GraphTuple
 from ..temporal import TemporalGraph
 from .basic import GNNChain, GNNLayer, glorot_uniform
-from .conv import ChebConv, DConv, GCNConv
+from .conv import ChebConv, cheb_lambda_max, DConv, GCNConv
 
 __all__ = [
     "GNNRecurrence", "GConvGRUCell", "GConvLSTMCell", "DCGRUCell",
@@ -60,15 +60,30 @@ class GNNRecurrence(GNNLayer):
             state = self.cell.initial_state(g, x[0])
         cell = self.cell
 
+        # loop-invariant per-graph context, computed ONCE before the scan
+        # (XLA does not hoist it out of the scan body): e.g. the ChebConv
+        # cells' eigmax — 2470 -> 412 ms for a timed 10x(T=8) run at 65k
+        # nodes (HETERO_TEMPORAL_r5)
+        prep = getattr(cell, "static_context", None)
+        ctx = prep(g, x[0]) if prep is not None else {}
+
         graphdef, params, rest = nnx.split(cell, nnx.Param, ...)
 
         def step(carry, xt):
             m = nnx.merge(graphdef, params, rest)
-            yt, new_state = m(g, xt, carry)
+            yt, new_state = m(g, xt, carry, **ctx)
             return new_state, yt
 
         _, ys = jax.lax.scan(step, state, x)
         return ys
+
+
+def _cheb_lam(g, dtype, lambda_max):
+    """Shared per-step eigmax for ChebConv-based cells (None -> computed
+    once, matrix-free; see conv.cheb_lambda_max)."""
+    if lambda_max is not None:
+        return lambda_max
+    return cheb_lambda_max(g, dtype)
 
 
 class GConvGRUCell(GNNLayer):
@@ -91,12 +106,25 @@ class GConvGRUCell(GNNLayer):
     def initial_state(self, g, x):
         return jnp.zeros((x.shape[0], self.out_features), x.dtype)
 
-    def __call__(self, g: GraphTuple, x, h=None):
+    def static_context(self, g, x):
+        """Loop-invariant context for GNNRecurrence: the shared eigmax."""
+        return {"lambda_max": cheb_lambda_max(g, x.dtype)}
+
+    def __call__(self, g: GraphTuple, x, h=None, *, lambda_max=None):
         if h is None:
             h = self.initial_state(g, x)
-        r = jax.nn.sigmoid(self.conv_x_r(g, x) + self.conv_h_r(g, h))
-        z = jax.nn.sigmoid(self.conv_x_z(g, x) + self.conv_h_z(g, h))
-        htilde = jnp.tanh(self.conv_x_h(g, x) + self.conv_h_h(g, r * h))
+        # one eigmax for all six internal ChebConvs (and, via lax.scan
+        # closure-hoisting, effectively once per sequence on a static
+        # graph): the per-conv default re-ran the sparse power iteration
+        # six times per step — 2517 -> ~110 ms for an 8-step scan at 65k
+        # nodes (HETERO_TEMPORAL_r5)
+        lam = _cheb_lam(g, x.dtype, lambda_max)
+        r = jax.nn.sigmoid(self.conv_x_r(g, x, lambda_max=lam)
+                           + self.conv_h_r(g, h, lambda_max=lam))
+        z = jax.nn.sigmoid(self.conv_x_z(g, x, lambda_max=lam)
+                           + self.conv_h_z(g, h, lambda_max=lam))
+        htilde = jnp.tanh(self.conv_x_h(g, x, lambda_max=lam)
+                          + self.conv_h_h(g, r * h, lambda_max=lam))
         h = (1.0 - z) * htilde + z * h
         return h, h
 
@@ -125,21 +153,26 @@ class GConvLSTMCell(GNNLayer):
         z = jnp.zeros((x.shape[0], self.out_features), x.dtype)
         return (z, z)
 
-    def _gate(self, name, g, x, h, c):
-        out = getattr(self, f"conv_x_{name}")(g, x) \
-            + getattr(self, f"conv_h_{name}")(g, h) \
+    def static_context(self, g, x):
+        """Loop-invariant context for GNNRecurrence: the shared eigmax."""
+        return {"lambda_max": cheb_lambda_max(g, x.dtype)}
+
+    def _gate(self, name, g, x, h, c, lam):
+        out = getattr(self, f"conv_x_{name}")(g, x, lambda_max=lam) \
+            + getattr(self, f"conv_h_{name}")(g, h, lambda_max=lam) \
             + getattr(self, f"w_{name}")[...] * c
         b = getattr(self, f"b_{name}")
         return out + b[...] if b is not None else out
 
-    def __call__(self, g: GraphTuple, x, state=None):
+    def __call__(self, g: GraphTuple, x, state=None, *, lambda_max=None):
         if state is None:
             state = self.initial_state(g, x)
         h, c = state
-        i = jax.nn.sigmoid(self._gate("i", g, x, h, c))
-        f = jax.nn.sigmoid(self._gate("f", g, x, h, c))
-        c = f * c + i * jnp.tanh(self._gate("c", g, x, h, c))
-        o = jax.nn.sigmoid(self._gate("o", g, x, h, c))
+        lam = _cheb_lam(g, x.dtype, lambda_max)   # one eigmax per step
+        i = jax.nn.sigmoid(self._gate("i", g, x, h, c, lam))
+        f = jax.nn.sigmoid(self._gate("f", g, x, h, c, lam))
+        c = f * c + i * jnp.tanh(self._gate("c", g, x, h, c, lam))
+        o = jax.nn.sigmoid(self._gate("o", g, x, h, c, lam))
         h = o * jnp.tanh(c)
         return h, (h, c)
 
